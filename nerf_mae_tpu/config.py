@@ -1,0 +1,101 @@
+"""Typed configuration for all nerf_mae_tpu tasks.
+
+Replaces the reference's per-driver argparse + shell-script config sprawl
+(reference: nerf_mae/run_swin_mae3d.py:41-313, nerf_mae/train_mae3d.sh:16-35)
+with one dataclass tree shared by every task.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    """3D Swin transformer trunk configuration.
+
+    Named presets mirror the reference's swin_t/s/b/l dicts
+    (reference: nerf_mae/run_swin_mae3d.py:378-399).
+    """
+
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    patch_size: Sequence[int] = (4, 4, 4)
+    window_size: Sequence[int] = (4, 4, 4)
+    mlp_ratio: float = 4.0
+    stochastic_depth_prob: float = 0.1
+    expand_dim: bool = True
+    norm_eps: float = 1e-5
+
+    @property
+    def stage_dims(self) -> tuple:
+        if self.expand_dim:
+            return tuple(self.embed_dim * 2**i for i in range(len(self.depths)))
+        return tuple(self.embed_dim for _ in self.depths)
+
+
+SWIN_PRESETS = {
+    "swin_t": SwinConfig(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    "swin_s": SwinConfig(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "swin_b": SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "swin_l": SwinConfig(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class MAEConfig:
+    """Masked-autoencoder pretraining model config.
+
+    Mirrors SwinTransformer_MAE3D_New construction
+    (reference: nerf_mae/model/mae/swin_mae3d.py:1088-1304).
+    """
+
+    swin: SwinConfig = SWIN_PRESETS["swin_s"]
+    resolution: int = 160
+    input_channels: int = 4
+    out_channels: int = 4
+    masking_prob: float = 0.75
+    masking_strategy: str = "random"  # "random" | "grid"
+    # Mask-block edge in *tokens*; the reference masks 4^3 token blocks
+    # (= 16^3 voxels) (reference: swin_mae3d.py:1314-1382, patch_size=(4,4,4)).
+    mask_block: int = 4
+    # Reference quirk: one mask is sampled per batch and shared by all samples
+    # (reference: swin_mae3d.py:1371 writes `mask[:, ...]`). We default to
+    # proper per-sample masks; set False for parity runs.
+    per_sample_mask: bool = True
+    compute_dtype: str = "bfloat16"  # dtype for matmuls/convs; params stay fp32
+    remat: bool = True  # jax.checkpoint each Swin stage + decoder block
+
+    @property
+    def token_grid(self) -> int:
+        return self.resolution // self.swin.patch_size[0]
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization config (reference: nerf_mae/train_mae3d.sh:16-35,
+    run_swin_mae3d.py AdamW+OneCycleLR setup)."""
+
+    batch_size: int = 32
+    num_epochs: int = 2000
+    lr: float = 1e-4
+    weight_decay: float = 1e-3
+    clip_grad_norm: float = 0.1
+    # torch OneCycleLR defaults reproduced by optax.cosine_onecycle_schedule
+    onecycle_pct_start: float = 0.3
+    onecycle_div_factor: float = 25.0
+    onecycle_final_div_factor: float = 1e4
+    seed: int = 0
+    log_interval: int = 10
+    eval_interval: int = 10
+    ckpt_interval: int = 20
+    ckpt_dir: str = "checkpoints"
+    keep_checkpoints: int = 3

@@ -1,0 +1,206 @@
+"""3D Swin transformer trunk (flax.linen), channel-last, static shapes.
+
+Equivalent capability to the reference's SwinTransformerBlock / PatchMerging /
+stage pipeline (reference: nerf_mae/model/mae/swin_mae3d.py:310-414,
+1131-1172), re-designed for TPU:
+
+  * channel-last [B, H, W, D, C] end to end (no NCDHW permutes)
+  * attention internals in `ops.window_attention` run as batched MXU matmuls
+    with static precomputed shift masks
+  * params are fp32; compute dtype (bf16 by default) is a module knob
+  * optional jax.checkpoint (remat) per stage to trade FLOPs for HBM
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nerf_mae_tpu.config import SwinConfig
+from nerf_mae_tpu.ops.window_attention import window_attention_3d
+
+
+def drop_path(
+    x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> jnp.ndarray:
+    """Per-sample stochastic depth ('row' mode, like the reference's
+    torchvision StochasticDepth at swin_mae3d.py:350)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * keep.astype(x.dtype) / (1.0 - rate)
+
+
+class SwinBlock3D(nn.Module):
+    """One Swin block: LN -> window MSA -> droppath residual -> LN -> MLP.
+
+    (reference: swin_mae3d.py:310-369)
+    """
+
+    dim: int
+    num_heads: int
+    window: Tuple[int, int, int]
+    shift: Tuple[int, int, int]
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+    norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        table_size = (
+            (2 * self.window[0] - 1)
+            * (2 * self.window[1] - 1)
+            * (2 * self.window[2] - 1)
+        )
+        qkv_kernel = self.param(
+            "qkv_kernel",
+            nn.initializers.truncated_normal(0.02),
+            (self.dim, 3 * self.dim),
+        )
+        qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * self.dim,))
+        proj_kernel = self.param(
+            "proj_kernel",
+            nn.initializers.truncated_normal(0.02),
+            (self.dim, self.dim),
+        )
+        proj_bias = self.param("proj_bias", nn.initializers.zeros, (self.dim,))
+        bias_table = self.param(
+            "rel_pos_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            (table_size, self.num_heads),
+        )
+
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm1")(x)
+        h = window_attention_3d(
+            h.astype(self.dtype),
+            qkv_kernel.astype(self.dtype),
+            qkv_bias,
+            proj_kernel.astype(self.dtype),
+            proj_bias,
+            bias_table,
+            self.window,
+            self.shift,
+            self.num_heads,
+        )
+        rng = None
+        if not deterministic and self.drop_path_rate > 0.0:
+            rng = self.make_rng("droppath")
+        x = x + drop_path(
+            h.astype(x.dtype), self.drop_path_rate, deterministic, rng
+        )
+
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm2")(x)
+        h = nn.Dense(
+            int(self.dim * self.mlp_ratio),
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.normal(1e-6),
+            name="mlp_fc1",
+        )(h.astype(self.dtype))
+        h = nn.gelu(h)
+        h = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.normal(1e-6),
+            name="mlp_fc2",
+        )(h)
+        rng = None
+        if not deterministic and self.drop_path_rate > 0.0:
+            rng = self.make_rng("droppath")
+        return x + drop_path(
+            h.astype(x.dtype), self.drop_path_rate, deterministic, rng
+        )
+
+
+class PatchMerging3D(nn.Module):
+    """8-way 2x2x2 concat -> LayerNorm(8C) -> Dense(2C or C, no bias).
+
+    (reference: swin_mae3d.py:372-414)
+    """
+
+    dim: int
+    expand_dim: bool = True
+    norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, d, c = x.shape
+        pads = (h % 2, w % 2, d % 2)
+        if any(pads):
+            x = jnp.pad(x, ((0, 0), (0, pads[0]), (0, pads[1]), (0, pads[2]), (0, 0)))
+        # gather the 8 offsets in the reference's concat order
+        # (h-parity fastest: x0..x7 = (0,0,0),(1,0,0),(0,1,0),(1,1,0),
+        #  (0,0,1),(1,0,1),(0,1,1),(1,1,1))
+        parts = []
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    parts.append(x[:, dx::2, dy::2, dz::2, :])
+        x = jnp.concatenate(parts, axis=-1)
+        x = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm")(x)
+        out_dim = self.dim * 2 if self.expand_dim else self.dim
+        return nn.Dense(
+            out_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.truncated_normal(0.02),
+            name="reduction",
+        )(x.astype(self.dtype))
+
+
+class SwinEncoder3D(nn.Module):
+    """The 4-stage Swin trunk over an already patch-embedded token grid.
+
+    Input [B, T, T, T, embed_dim]; returns the per-stage feature pyramid
+    [C@T, 2C@T/2, 4C@T/4, 8C@T/8] (reference: swin_mae3d.py:1131-1172,
+    forward loop :1466-1470).
+    """
+
+    cfg: SwinConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        cfg = self.cfg
+        total_blocks = sum(cfg.depths)
+        block_id = 0
+        features = []
+        block_cls = SwinBlock3D
+        if self.remat:
+            block_cls = nn.remat(SwinBlock3D, static_argnums=(2,))
+        for i_stage, depth in enumerate(cfg.depths):
+            dim = cfg.stage_dims[i_stage]
+            if i_stage > 0:
+                x = PatchMerging3D(
+                    dim=cfg.stage_dims[i_stage - 1],
+                    expand_dim=cfg.expand_dim,
+                    norm_eps=cfg.norm_eps,
+                    dtype=self.dtype,
+                    name=f"merge{i_stage}",
+                )(x)
+            for i_layer in range(depth):
+                sd = cfg.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
+                shift = tuple(
+                    0 if i_layer % 2 == 0 else ws // 2 for ws in cfg.window_size
+                )
+                x = block_cls(
+                    dim=dim,
+                    num_heads=cfg.num_heads[i_stage],
+                    window=tuple(cfg.window_size),
+                    shift=shift,
+                    mlp_ratio=cfg.mlp_ratio,
+                    drop_path_rate=sd,
+                    norm_eps=cfg.norm_eps,
+                    dtype=self.dtype,
+                    name=f"stage{i_stage}_block{i_layer}",
+                )(x, deterministic)
+                block_id += 1
+            features.append(x)
+        return features

@@ -1,0 +1,172 @@
+"""Model-level tests for SwinMAE3D: shapes, loss semantics, training signal.
+
+The tiny-config smoke mirrors the reference's de-facto unit test
+(reference: nerf_mae/model/mae/swin_mae3d.py:1601-1653 — two odd-sized random
+grids through pad -> mask -> encode -> decode -> loss), scaled down for CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nerf_mae_tpu.config import MAEConfig, SwinConfig
+from nerf_mae_tpu.models.mae import SwinMAE3D, mae_loss, pad_grids_to_batch
+
+
+def tiny_cfg(**kw):
+    swin = SwinConfig(embed_dim=12, depths=(1, 1, 2, 1), num_heads=(3, 6, 12, 24))
+    defaults = dict(
+        swin=swin, resolution=32, masking_prob=0.75, compute_dtype="float32",
+        remat=False,
+    )
+    defaults.update(kw)
+    return MAEConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_cfg()
+    model = SwinMAE3D(cfg)
+    rng = jax.random.PRNGKey(0)
+    grids = jnp.zeros((2, 32, 32, 32, 4))
+    params = model.init(
+        {"params": rng, "mask": rng, "droppath": rng}, grids, True
+    )["params"]
+    return cfg, model, params
+
+
+class TestForward:
+    def test_shapes(self, model_and_params):
+        cfg, model, params = model_and_params
+        grids = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 32, 4))
+        pred, token_mask = model.apply(
+            {"params": params}, grids, True, rngs={"mask": jax.random.PRNGKey(1)}
+        )
+        assert pred.shape == (2, 32, 32, 32, 4)
+        assert pred.dtype == jnp.float32
+        assert token_mask.shape == (2, 8, 8, 8)
+        assert np.isfinite(np.asarray(pred)).all()
+
+    def test_mask_actually_changes_output(self, model_and_params):
+        cfg, model, params = model_and_params
+        grids = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 32, 4))
+        none_masked = jnp.zeros((1, 8, 8, 8), bool)
+        all_masked = jnp.ones((1, 8, 8, 8), bool)
+        p0, _ = model.apply({"params": params}, grids, True, token_mask=none_masked)
+        p1, _ = model.apply({"params": params}, grids, True, token_mask=all_masked)
+        assert np.abs(np.asarray(p0 - p1)).max() > 1e-4
+
+    def test_encode_pyramid(self, model_and_params):
+        cfg, model, params = model_and_params
+        grids = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 32, 4))
+        feats = model.apply(
+            {"params": params}, grids, True, method=SwinMAE3D.encode
+        )
+        dims = cfg.swin.stage_dims
+        assert [f.shape for f in feats] == [
+            (1, 8, 8, 8, dims[0]),
+            (1, 4, 4, 4, dims[1]),
+            (1, 2, 2, 2, dims[2]),
+            (1, 1, 1, 1, dims[3]),
+        ]
+
+
+class TestLoss:
+    def test_loss_semantics(self, model_and_params):
+        cfg, _, _ = model_and_params
+        rs = np.random.RandomState(0)
+        target = rs.rand(1, 32, 32, 32, 4).astype(np.float32)
+        pred = rs.randn(1, 32, 32, 32, 4).astype(np.float32)
+        sizes = jnp.array([[32, 32, 32]])
+        mask = jnp.ones((1, 8, 8, 8), bool)
+        loss, aux = mae_loss(jnp.asarray(pred), jnp.asarray(target), mask, sizes, cfg)
+        # manual: rgb mse over alpha>0.01 voxels (sum over 3 ch / count voxels)
+        am = (target[..., 3:] > 0.01).astype(np.float32)
+        want_rgb = ((pred[..., :3] - target[..., :3]) ** 2 * am).sum() / am.sum()
+        sig = 1 / (1 + np.exp(-pred[..., 3:]))
+        want_alpha = ((sig - target[..., 3:]) ** 2).mean()
+        np.testing.assert_allclose(float(aux["loss_rgb"]), want_rgb, rtol=1e-4)
+        np.testing.assert_allclose(float(aux["loss_alpha"]), want_alpha, rtol=1e-4)
+        np.testing.assert_allclose(float(loss), want_rgb + want_alpha, rtol=1e-4)
+
+    def test_alpha_loss_respects_validity_and_mask(self, model_and_params):
+        cfg, _, _ = model_and_params
+        rs = np.random.RandomState(1)
+        target = rs.rand(1, 32, 32, 32, 4).astype(np.float32)
+        pred = rs.randn(1, 32, 32, 32, 4).astype(np.float32)
+        # only first half of the grid valid; only half the tokens masked
+        sizes = jnp.array([[16, 32, 32]])
+        mask = jnp.zeros((1, 8, 8, 8), bool).at[:, :4].set(True)
+        _, aux = mae_loss(jnp.asarray(pred), jnp.asarray(target), mask, sizes, cfg)
+        # masked tokens cover h<16 which is fully valid -> 16*32*32 voxels
+        assert int(aux["n_alpha"]) == 16 * 32 * 32
+        # now mask only tokens in the padded (invalid) region -> zero count
+        mask2 = jnp.zeros((1, 8, 8, 8), bool).at[:, 4:].set(True)
+        _, aux2 = mae_loss(jnp.asarray(pred), jnp.asarray(target), mask2, sizes, cfg)
+        assert int(aux2["n_alpha"]) == 0
+
+
+class TestListAPI:
+    def test_pad_grids_odd_sizes(self):
+        # scaled-down version of the reference smoke shapes
+        grids = [
+            np.random.RandomState(0).rand(4, 30, 30, 28),
+            np.random.RandomState(1).rand(4, 26, 32, 31),
+        ]
+        batch, sizes = pad_grids_to_batch(grids, 32)
+        assert batch.shape == (2, 32, 32, 32, 4)
+        np.testing.assert_array_equal(sizes, [[30, 30, 28], [26, 32, 31]])
+        # content preserved, padding zero
+        np.testing.assert_array_equal(
+            batch[0, :30, :30, :28], np.moveaxis(grids[0], 0, -1).astype(np.float32)
+        )
+        assert (batch[0, 30:] == 0).all()
+
+    def test_end_to_end_odd_grids(self, model_and_params):
+        cfg, model, params = model_and_params
+        grids = [
+            np.random.RandomState(0).rand(4, 30, 30, 28).astype(np.float32),
+            np.random.RandomState(1).rand(4, 26, 32, 31).astype(np.float32),
+        ]
+        batch, sizes = pad_grids_to_batch(grids, cfg.resolution)
+        pred, token_mask = model.apply(
+            {"params": params}, jnp.asarray(batch), True,
+            rngs={"mask": jax.random.PRNGKey(0)},
+        )
+        loss, aux = mae_loss(pred, jnp.asarray(batch), token_mask, jnp.asarray(sizes), cfg)
+        assert np.isfinite(float(loss))
+        assert float(aux["loss_rgb"]) > 0 and float(aux["loss_alpha"]) > 0
+
+
+class TestTrainingSignal:
+    def test_loss_decreases(self, model_and_params):
+        cfg, model, params = model_and_params
+        rs = np.random.RandomState(0)
+        batch = jnp.asarray(rs.rand(2, 32, 32, 32, 4).astype(np.float32))
+        sizes = jnp.array([[32, 32, 32], [28, 30, 32]])
+        tx = optax.adamw(1e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, rng):
+            def loss_fn(p):
+                pred, tm = model.apply(
+                    {"params": p}, batch, False,
+                    rngs={"mask": rng, "droppath": jax.random.fold_in(rng, 1)},
+                )
+                loss, aux = mae_loss(pred, batch, tm, sizes, cfg)
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        rng = jax.random.PRNGKey(0)
+        for i in range(12):
+            params, opt_state, loss = step(params, opt_state, jax.random.fold_in(rng, i))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
