@@ -1,0 +1,41 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL/DDP stack
+(reference: nerf_mae/run_swin_mae3d.py:809-902 — mp.spawn, process groups,
+DistributedSampler, rank-gated eval): here a 1-D `data` mesh + NamedSharding
+annotations let XLA insert all collectives (grad psum, metric pmean) itself.
+Multi-host extends by calling jax.distributed.initialize() before make_mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first n (default: all) devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_parallel_shardings(mesh: Mesh, axis: str = "data"):
+    """(batch_sharding, replicated_sharding) for the given mesh."""
+    return NamedSharding(mesh, P(axis)), NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a pytree of [B, ...] arrays with B sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

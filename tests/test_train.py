@@ -1,0 +1,227 @@
+"""Trainer / sharding / checkpoint / data-pipeline tests.
+
+Multi-device paths run on the 8-virtual-CPU-device mesh from conftest.py.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_mae_tpu.config import MAEConfig, SwinConfig, TrainConfig
+from nerf_mae_tpu.data.datasets import (
+    SceneDataset,
+    density_to_alpha,
+    mae_batch_iterator,
+    rotate_and_scale_scene,
+    scannet_density_to_alpha,
+    synthetic_scenes,
+)
+from nerf_mae_tpu.metrics import masked_mse, masked_psnr
+from nerf_mae_tpu.parallel import make_mesh, shard_batch
+from nerf_mae_tpu.train.checkpoint import (
+    extract_trunk,
+    load_trunk_into,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from nerf_mae_tpu.train.optim import make_schedule
+from nerf_mae_tpu.train.trainer import MAETrainer
+
+
+def tiny_cfg():
+    return MAEConfig(
+        swin=SwinConfig(embed_dim=12, depths=(1, 1, 2, 1), num_heads=(3, 6, 12, 24)),
+        resolution=32,
+        compute_dtype="float32",
+        remat=False,
+    )
+
+
+def make_batch(n, seed=0):
+    rs = np.random.RandomState(seed)
+    return {
+        "grids": rs.rand(n, 32, 32, 32, 4).astype(np.float32),
+        "sizes": np.full((n, 3), 32, np.int32),
+    }
+
+
+class TestMetrics:
+    def test_masked_mse_psnr(self):
+        pred = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+        tgt = jnp.array([[1.5, 2.0], [0.0, 4.0]])
+        mask = jnp.array([[True], [False]])
+        assert float(masked_mse(pred, tgt, mask)) == pytest.approx(0.125)
+        assert float(masked_psnr(pred, tgt, mask)) == pytest.approx(
+            -10 * np.log10(0.125)
+        )
+
+
+class TestSchedule:
+    def test_onecycle_shape(self):
+        cfg = TrainConfig(lr=1e-4)
+        sched = make_schedule(cfg, 1000)
+        lrs = [float(sched(s)) for s in [0, 300, 999]]
+        assert lrs[0] == pytest.approx(1e-4 / 25, rel=1e-3)  # warmup start
+        assert lrs[1] == pytest.approx(1e-4, rel=1e-3)  # peak at pct_start
+        assert lrs[2] < 1e-6  # annealed to peak/final_div
+
+
+class TestShardedTraining:
+    def test_8device_train_step(self):
+        mesh = make_mesh(8)
+        trainer = MAETrainer(tiny_cfg(), TrainConfig(batch_size=8), 10, mesh)
+        state = trainer.init(jax.random.PRNGKey(0))
+        batch = shard_batch(make_batch(8), mesh)
+        state, metrics = trainer.train_step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
+        # params stay replicated (single shard value everywhere)
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_sharded_matches_single_device(self):
+        # same batch, same rng: 8-way data-parallel grads == single-device
+        cfg = tiny_cfg()
+        batch = make_batch(8, seed=3)
+        mesh8 = make_mesh(8)
+        mesh1 = make_mesh(1)
+        t8 = MAETrainer(cfg, TrainConfig(batch_size=8), 10, mesh8)
+        t1 = MAETrainer(cfg, TrainConfig(batch_size=8), 10, mesh1)
+        s8 = t8.init(jax.random.PRNGKey(0))
+        s1 = t1.init(jax.random.PRNGKey(0))
+        s8, m8 = t8.train_step(s8, shard_batch(batch, mesh8))
+        s1, m1 = t1.train_step(s1, shard_batch(batch, mesh1))
+        assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+        p8 = jax.tree.leaves(s8.params)[0]
+        p1 = jax.tree.leaves(s1.params)[0]
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), rtol=1e-4, atol=1e-5)
+
+    def test_eval_step(self):
+        mesh = make_mesh(8)
+        trainer = MAETrainer(tiny_cfg(), TrainConfig(batch_size=8), 10, mesh)
+        state = trainer.init(jax.random.PRNGKey(0))
+        m = trainer.eval_step(state, shard_batch(make_batch(8), mesh))
+        assert np.isfinite(float(m["psnr"]))
+        assert float(m["mse"]) > 0
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        mesh = make_mesh(1)
+        trainer = MAETrainer(tiny_cfg(), TrainConfig(batch_size=2), 10, mesh)
+        state = trainer.init(jax.random.PRNGKey(0))
+        ckpt = str(tmp_path / "ckpt")
+        save_checkpoint(ckpt, 5, state.params, state.opt_state, extra={"psnr": 21.5})
+        restored = restore_checkpoint(
+            ckpt, template={"params": state.params, "opt_state": state.opt_state}
+        )
+        assert restored["extra"]["psnr"] == 21.5
+        for a, b in zip(
+            jax.tree.leaves(restored["params"]), jax.tree.leaves(state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_trunk_surgery(self):
+        mesh = make_mesh(1)
+        trainer = MAETrainer(tiny_cfg(), TrainConfig(batch_size=2), 10, mesh)
+        state = trainer.init(jax.random.PRNGKey(0))
+        trunk = extract_trunk(state.params)
+        assert set(trunk) == {"patch_embed", "patch_norm", "encoder"}
+        assert "decoder4" not in trunk
+        # graft into a fresh init: trunk leaves replaced, head leaves kept
+        state2 = trainer.init(jax.random.PRNGKey(7))
+        grafted = load_trunk_into(dict(state2.params), trunk)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(grafted["encoder"])[0]),
+            np.asarray(jax.tree.leaves(state.params["encoder"])[0]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(grafted["decoder4"])[0]),
+            np.asarray(jax.tree.leaves(state2.params["decoder4"])[0]),
+        )
+
+
+class TestData:
+    def test_density_to_alpha(self):
+        d = np.array([-10.0, 0.0, 5.0])
+        a = density_to_alpha(d)
+        np.testing.assert_allclose(
+            a, np.clip(1 - np.exp(-np.exp(d) / 100), 0, 1), rtol=1e-6
+        )
+        s = scannet_density_to_alpha(np.array([-5.0, 50.0]))
+        assert s[0] == 0.0 and 0 < s[1] < 1
+
+    def test_scene_dataset_npz(self, tmp_path):
+        feat = tmp_path / "features"
+        feat.mkdir()
+        rs = np.random.RandomState(0)
+        for name in ["scene_a", "scene_b"]:
+            np.savez(
+                feat / f"{name}.npz",
+                rgbsigma=rs.rand(20, 24, 18, 4).astype(np.float32),
+            )
+        ds = SceneDataset(str(feat))
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["rgbsigma"].shape == (20, 24, 18, 4)
+        assert item["rgbsigma"][..., 3].max() <= 1.0  # alpha normalized
+
+    def test_uint8_grids(self, tmp_path):
+        feat = tmp_path / "f"
+        feat.mkdir()
+        np.savez(
+            feat / "s.npz",
+            rgbsigma=np.random.RandomState(0).randint(
+                0, 256, (8, 8, 8, 4), dtype=np.uint8
+            ),
+        )
+        item = SceneDataset(str(feat))[0]
+        assert item["rgbsigma"].dtype == np.float32
+        assert 0 <= item["rgbsigma"].min() and item["rgbsigma"].max() <= 1.0
+
+    def test_batch_iterator(self):
+        scenes = synthetic_scenes(5, resolution=16, seed=0, min_size=10)
+
+        class _DS:
+            def __len__(self):
+                return 5
+
+            def __getitem__(self, i):
+                return {"rgbsigma": scenes[i]}
+
+        it = mae_batch_iterator(_DS(), 2, 16, seed=0, loop=False)
+        batches = list(it)
+        assert len(batches) == 2  # drop_last
+        b = batches[0]
+        assert b["grids"].shape == (2, 16, 16, 16, 4)
+        assert (b["sizes"] <= 16).all() and (b["sizes"] >= 10).all()
+        # padding beyond sizes is zero
+        s = b["sizes"][0]
+        assert (b["grids"][0, s[0]:, :, :, :] == 0).all()
+
+    def test_rotate_and_scale_identity(self):
+        g = np.random.RandomState(0).rand(9, 9, 9, 4).astype(np.float32)
+        boxes = np.array([[4.0, 4.0, 4.0, 2.0, 3.0, 1.0, 0.3]], np.float32)
+        g2, b2 = rotate_and_scale_scene(g, boxes, angle=0.0, scale=1.0)
+        np.testing.assert_allclose(g2, g, atol=1e-5)
+        np.testing.assert_allclose(b2, boxes, atol=1e-5)
+
+    def test_rotate_and_scale_boxes(self):
+        g = np.zeros((16, 16, 16, 4), np.float32)
+        boxes = np.array([[10.0, 8.0, 8.0, 2.0, 2.0, 2.0, 0.0]], np.float32)
+        angle = np.pi / 2
+        _, b2 = rotate_and_scale_scene(g, boxes, angle=angle, scale=1.0)
+        assert b2[0, 6] == pytest.approx(-np.pi / 2)
+        # center (10,8) rotates about (8,8): sampling-space rotation moves
+        # content; box center follows the inverse map
+        np.testing.assert_allclose(b2[0, 2], 8.0, atol=1e-5)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(8)
