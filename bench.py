@@ -52,12 +52,15 @@ def main():
                 mesh,
             )
             state, m = trainer.train_step(state, batch)  # compile
-            jax.block_until_ready(m["loss"])
+            first_loss = float(m["loss"])  # host transfer = hard barrier
+            assert np.isfinite(first_loss), first_loss
             reps = 10
             t0 = time.perf_counter()
             for _ in range(reps):
                 state, m = trainer.train_step(state, batch)
-            jax.block_until_ready(m["loss"])
+            # block via host transfer: block_until_ready through the remote
+            # tunnel can ack at dispatch, not completion
+            _ = float(m["loss"])
             dt = (time.perf_counter() - t0) / reps
             value = batch_size / dt / n_chips
             print(

@@ -31,6 +31,13 @@ class SwinConfig:
     expand_dim: bool = True
     norm_eps: float = 1e-5
 
+    def __post_init__(self):
+        for dim, heads in zip(self.stage_dims, self.num_heads):
+            if dim % heads:
+                raise ValueError(
+                    f"stage dim {dim} not divisible by num_heads {heads}"
+                )
+
     @property
     def stage_dims(self) -> tuple:
         if self.expand_dim:
@@ -39,9 +46,18 @@ class SwinConfig:
 
 
 SWIN_PRESETS = {
+    # test-scale preset for CPU smoke runs (not in the reference)
+    "swin_nano": SwinConfig(
+        embed_dim=12, depths=(1, 1, 2, 1), num_heads=(3, 6, 12, 24),
+        stochastic_depth_prob=0.0,
+    ),
     "swin_t": SwinConfig(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
     "swin_s": SwinConfig(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
-    "swin_b": SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    # NOTE: the reference's swin_b dict pairs embed_dim 128 with heads
+    # (3, 6, 12, 24) (run_swin_mae3d.py:389-393), which is unusable — 128 is
+    # not divisible by 3, so its qkv reshape would fail at runtime. We use
+    # the standard Swin-B head counts instead.
+    "swin_b": SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
     "swin_l": SwinConfig(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)),
 }
 
@@ -69,6 +85,14 @@ class MAEConfig:
     per_sample_mask: bool = True
     compute_dtype: str = "bfloat16"  # dtype for matmuls/convs; params stay fp32
     remat: bool = True  # jax.checkpoint each Swin stage + decoder block
+    # Final reconstruction stage:
+    #   "subpixel" (TPU-native default): heavy convs stay at the token grid
+    #     (40^3), voxels emitted via a depth-to-space projection — removes
+    #     every [B, 160^3, 64] activation (which tile-pads 2-8x in HBM and
+    #     dominates the reference-style decoder's memory AND flops)
+    #   "unetr": the reference's ConvTranspose(4x) + full-res res-block
+    #     (reference: swin_mae3d.py:1248-1257) for architecture-parity runs
+    decoder_type: str = "subpixel"
 
     @property
     def token_grid(self) -> int:

@@ -325,6 +325,87 @@ def mae_batch_iterator(
             return
 
 
+def pad_boxes(boxes: np.ndarray, max_gt: int) -> Tuple[np.ndarray, np.ndarray]:
+    """[N, 6|7] -> ([max_gt, 6|7], valid [max_gt]) with zero padding."""
+    d = boxes.shape[1] if boxes.size else 6
+    out = np.zeros((max_gt, d), np.float32)
+    valid = np.zeros((max_gt,), bool)
+    n = min(len(boxes), max_gt)
+    if n:
+        out[:n] = boxes[:n]
+        valid[:n] = True
+    return out, valid
+
+
+def detection_batch_iterator(
+    dataset,
+    batch_size: int,
+    resolution: int,
+    max_gt: int = 64,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+    loop: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields {"grids": [B, R, R, R, 4], "sizes": [B, 3],
+    "gt_boxes": [B, G, 6|7], "gt_valid": [B, G]}."""
+    rng = np.random.RandomState(seed)
+    n = len(dataset)
+    while True:
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for start in range(0, n, batch_size):
+            sel = order[start : start + batch_size]
+            if len(sel) < batch_size and drop_last:
+                continue
+            items = [dataset[int(j)] for j in sel]
+            box_dim = max(
+                (i["boxes"].shape[1] for i in items if i.get("boxes") is not None),
+                default=6,
+            )
+            grids = np.zeros((len(sel), resolution, resolution, resolution, 4),
+                             np.float32)
+            sizes = np.zeros((len(sel), 3), np.int32)
+            gt = np.zeros((len(sel), max_gt, box_dim), np.float32)
+            gv = np.zeros((len(sel), max_gt), bool)
+            for i, item in enumerate(items):
+                grids[i], sizes[i] = pad_to_cube(item["rgbsigma"], resolution)
+                if item.get("boxes") is not None:
+                    gt[i], gv[i] = pad_boxes(item["boxes"], max_gt)
+            yield {"grids": grids, "sizes": sizes, "gt_boxes": gt, "gt_valid": gv}
+        if not loop:
+            return
+
+
+def synthetic_detection_scenes(
+    n: int, resolution: int = 160, seed: int = 0, min_size: int = None,
+    obb: bool = False,
+):
+    """Synthetic scenes with box annotations for the blobs (AABB [N, 6] or
+    OBB [N, 7] with theta=0) — detection tests/benchmarks without real data."""
+    rng = np.random.RandomState(seed)
+    lo = min_size or int(resolution * 0.8)
+    scenes = []
+    for _ in range(n):
+        size = rng.randint(lo, resolution + 1, 3)
+        g = np.zeros((*size, 4), np.float32)
+        boxes = []
+        for _ in range(rng.randint(2, 6)):
+            c = rng.randint(6, size - 6, 3)
+            e = rng.randint(3, max(min(size) // 4, 4), 3)
+            s0 = np.maximum(c - e, 0)
+            s1 = np.minimum(c + e, size)
+            g[s0[0]:s1[0], s0[1]:s1[1], s0[2]:s1[2], :3] = rng.rand(3)
+            g[s0[0]:s1[0], s0[1]:s1[1], s0[2]:s1[2], 3] = rng.uniform(0.5, 1.0)
+            if obb:
+                ctr = (s0 + s1) / 2
+                whd = (s1 - s0).astype(np.float32)
+                boxes.append([*ctr, *whd, 0.0])
+            else:
+                boxes.append([*s0, *s1])
+        scenes.append({"rgbsigma": g, "boxes": np.asarray(boxes, np.float32)})
+    return scenes
+
+
 def synthetic_scenes(
     n: int, resolution: int = 160, seed: int = 0, min_size: int = None
 ) -> List[np.ndarray]:

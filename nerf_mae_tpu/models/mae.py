@@ -25,7 +25,11 @@ import numpy as np
 
 from nerf_mae_tpu.config import MAEConfig
 from nerf_mae_tpu.models.swin import SwinEncoder3D
-from nerf_mae_tpu.models.unetr import UnetOutBlock3D, UnetrUpBlock3D
+from nerf_mae_tpu.models.unetr import (
+    SubpixelHead3D,
+    UnetOutBlock3D,
+    UnetrUpBlock3D,
+)
 from nerf_mae_tpu.ops.masking import block_mask_3d
 from nerf_mae_tpu.ops.patchify import patchify_3d, voxel_validity_mask
 from nerf_mae_tpu.ops.pos_embed import sincos_pos_embed_3d
@@ -52,16 +56,24 @@ class SwinMAE3D(nn.Module):
         )
         self.encoder = SwinEncoder3D(cfg=cfg.swin, dtype=dtype, remat=cfg.remat)
         # UNETR decode with skip connections from every encoder stage
-        # (reference: swin_mae3d.py:1224-1257, 1486-1495)
+        # (reference: swin_mae3d.py:1224-1257, 1486-1495). The full-res
+        # decoder activations dominate HBM at 160^3 — remat each block.
+        up_cls = nn.remat(UnetrUpBlock3D) if cfg.remat else UnetrUpBlock3D
         e = cfg.swin.embed_dim
-        self.decoder4 = UnetrUpBlock3D(e * 4, dtype=dtype)
-        self.decoder3 = UnetrUpBlock3D(e * 2, dtype=dtype)
-        self.decoder2 = UnetrUpBlock3D(e * 1, dtype=dtype)
-        self.decoder1 = UnetrUpBlock3D(
-            e // 2, upsample_factor=cfg.swin.patch_size[0], use_skip=False,
-            dtype=dtype,
-        )
-        self.out_head = UnetOutBlock3D(cfg.out_channels, dtype=dtype)
+        self.decoder4 = up_cls(e * 4, dtype=dtype)
+        self.decoder3 = up_cls(e * 2, dtype=dtype)
+        self.decoder2 = up_cls(e * 1, dtype=dtype)
+        if cfg.decoder_type == "subpixel":
+            head_cls = nn.remat(SubpixelHead3D) if cfg.remat else SubpixelHead3D
+            self.subpixel_head = head_cls(
+                cfg.out_channels, patch=cfg.swin.patch_size[0], dtype=dtype
+            )
+        else:
+            self.decoder1 = up_cls(
+                e // 2, upsample_factor=cfg.swin.patch_size[0], use_skip=False,
+                dtype=dtype,
+            )
+            self.out_head = UnetOutBlock3D(cfg.out_channels, dtype=dtype)
 
     def embed(self, grids: jnp.ndarray) -> jnp.ndarray:
         """Patch-embed + pos-embed: [B, R, R, R, 4] -> [B, T, T, T, C]."""
@@ -98,8 +110,10 @@ class SwinMAE3D(nn.Module):
         d = self.decoder4(f[3], f[2])
         d = self.decoder3(d, f[1])
         d = self.decoder2(d, f[0])
-        d = self.decoder1(d)
-        pred = self.out_head(d)
+        if cfg.decoder_type == "subpixel":
+            pred = self.subpixel_head(d)
+        else:
+            pred = self.out_head(self.decoder1(d))
         return pred.astype(jnp.float32), token_mask
 
     def encode(

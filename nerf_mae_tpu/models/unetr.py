@@ -80,6 +80,37 @@ class UnetrUpBlock3D(nn.Module):
         )(x)
 
 
+class SubpixelHead3D(nn.Module):
+    """TPU-native reconstruction head: res-block + projection at the token
+    grid, then depth-to-space to full resolution.
+
+    Replaces the reference's decoder1 (ConvTranspose 4x) + full-res res
+    block + 1x1 out (reference: unetr_block.py:119-200 applied at 160^3 in
+    swin_mae3d.py:1248-1257, :1491-1495). All heavy convs run at T^3 = (R/p)^3
+    where channel counts are MXU-friendly; the voxel grid is emitted by one
+    reshape — no [B, R^3, smallC] activations ever materialize.
+    """
+
+    out_channels: int
+    patch: int = 4
+    width: int = 0  # 0 = keep input channel count
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, _, _, c = x.shape
+        w = self.width or c
+        h = UnetResBlock3D(w, dtype=self.dtype, name="res")(x)
+        p = self.patch
+        h = nn.Conv(
+            self.out_channels * p**3, (3, 3, 3), padding="SAME",
+            dtype=self.dtype, name="proj",
+        )(h)  # [B, T, T, T, p^3 * out]
+        h = h.reshape(b, t, t, t, p, p, p, self.out_channels)
+        h = h.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        return h.reshape(b, t * p, t * p, t * p, self.out_channels)
+
+
 class UnetOutBlock3D(nn.Module):
     """1x1x1 conv head (reference: unetr_block.py:96-116)."""
 

@@ -1,0 +1,98 @@
+"""Shared driver infrastructure (arg groups, logging, platform override,
+checkpoint plumbing) for the task CLIs."""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def setup(args):
+    if getattr(args, "platform", None):
+        os.environ["JAX_PLATFORMS"] = args.platform
+        jax.config.update("jax_platforms", args.platform)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        force=True,  # the env's sitecustomize pre-installs root handlers
+    )
+    for noisy in ("absl", "orbax", "jax"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
+
+
+def add_common_flags(p):
+    p.add_argument("--mode", default="train", choices=["train", "eval", "benchmark"])
+    p.add_argument("--backbone_type", default="swin_s")
+    p.add_argument("--resolution", default=160, type=int)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--num_epochs", default=100, type=int)
+    p.add_argument("--steps", default=None, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--weight_decay", default=1e-3, type=float)
+    p.add_argument("--clip_grad_norm", default=0.1, type=float)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--checkpoint_dir", default="checkpoints/task")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--mae_checkpoint", default=None,
+                   help="pretrained MAE checkpoint dir to graft the trunk from")
+    p.add_argument("--log_interval", default=10, type=int)
+    p.add_argument("--eval_interval", default=200, type=int)
+    p.add_argument("--ckpt_interval", default=500, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--eval_json", default=None)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    p.add_argument("--dataset", default="front3d",
+                   choices=["front3d", "hypersim", "scannet", "synthetic"])
+    p.add_argument("--features_path", default=None)
+    p.add_argument("--dataset_split", default=None)
+    p.add_argument("--percent_train", default=1.0, type=float)
+    p.add_argument("--flip_prob", default=0.0, type=float)
+    p.add_argument("--rotate_prob", default=0.0, type=float)
+    p.add_argument("--rot_scale_prob", default=0.0, type=float)
+    p.add_argument("--n_synthetic", default=16, type=int)
+    return p
+
+
+def load_mae_params(mae_checkpoint_dir: str, mae_cfg):
+    """Restore pretrained MAE params (fp32 pytree) for grafting."""
+    import jax.numpy as jnp
+
+    from nerf_mae_tpu.models.mae import SwinMAE3D
+    from nerf_mae_tpu.train.checkpoint import restore_checkpoint
+
+    model = SwinMAE3D(mae_cfg)
+    rng = jax.random.PRNGKey(0)
+    r = mae_cfg.resolution
+    template = jax.eval_shape(
+        lambda: model.init(
+            {"params": rng, "mask": rng}, jnp.zeros((1, r, r, r, 4)), True
+        )["params"]
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    restored = restore_checkpoint(mae_checkpoint_dir, template={"params": template})
+    return restored["params"]
+
+
+def benchmark_step(step_fn, state, batch, reps: int = 20, warmup: int = 3):
+    """Latency harness (reference: run_fcos_pretrained.py:989-1014 uses CUDA
+    events; here block_until_ready timing)."""
+    import time
+
+    for _ in range(warmup):
+        out = step_fn(state, batch)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t = time.perf_counter()
+        out = step_fn(state, batch)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t)
+    times = np.asarray(times) * 1000
+    return float(times.mean()), float(times.std())
