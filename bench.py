@@ -40,7 +40,8 @@ def main():
 
     rng = np.random.RandomState(0)
     value = None
-    for batch_size in (8 * n_chips, 4 * n_chips, 2 * n_chips, n_chips):
+    for batch_size in (32 * n_chips, 16 * n_chips, 8 * n_chips, 4 * n_chips,
+                       2 * n_chips, n_chips):
         try:
             trainer = MAETrainer(cfg, TrainConfig(batch_size=batch_size), 1000, mesh)
             state = trainer.init(jax.random.PRNGKey(0))

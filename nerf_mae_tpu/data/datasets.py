@@ -325,6 +325,23 @@ def mae_batch_iterator(
             return
 
 
+class ConcatDataset:
+    """Concatenation of scene datasets for multi-dataset pretraining
+    (the reference trains on Front3D + HM3D + Hypersim jointly,
+    README.md:254-258)."""
+
+    def __init__(self, *datasets):
+        self.datasets = [d for d in datasets if d is not None and len(d) > 0]
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, index):
+        d = int(np.searchsorted(self._offsets, index, side="right") - 1)
+        return self.datasets[d][index - int(self._offsets[d])]
+
+
 def pad_boxes(boxes: np.ndarray, max_gt: int) -> Tuple[np.ndarray, np.ndarray]:
     """[N, 6|7] -> ([max_gt, 6|7], valid [max_gt]) with zero padding."""
     d = boxes.shape[1] if boxes.size else 6

@@ -60,11 +60,20 @@ def restore_checkpoint(
             raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
         has_extra = "extra" in (mgr.item_metadata(step) or {})
         items = {}
-        items["state"] = (
-            ocp.args.StandardRestore(template)
-            if template is not None
-            else ocp.args.StandardRestore()
-        )
+        if template is not None:
+            # partial: a caller may want only params from a ckpt that also
+            # stores opt_state (e.g. trunk grafting for downstream tasks)
+            restore_args = jax.tree.map(
+                lambda x: ocp.ArrayRestoreArgs(
+                    restore_type=np.ndarray, dtype=getattr(x, "dtype", None)
+                ),
+                template,
+            )
+            items["state"] = ocp.args.PyTreeRestore(
+                item=template, restore_args=restore_args, partial_restore=True
+            )
+        else:
+            items["state"] = ocp.args.StandardRestore()
         if has_extra:
             items["extra"] = ocp.args.JsonRestore()
         restored = mgr.restore(step, args=ocp.args.Composite(**items))
