@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Per-scene NeRF training + rgbsigma grid extraction — the L0 data
+production pipeline (reference: data/scannet/run_nerf.py --task
+{train,extract}). Reads instant-ngp-style transforms.json + images, trains
+a NeRF, and extracts the (W, L, H, 4) rgbsigma grid npz that all downstream
+tasks consume.
+
+Example:
+  python scripts/run_nerf.py --task train_extract --scene_dir .../scene \
+      --bbox_min -1 -1 -1 --bbox_max 1 1 1 --max_res 160 \
+      --extract_dir features/ --scene_id scene0000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import numpy as np
+
+from common import setup
+
+import jax
+
+from nerf_mae_tpu.nerf.extract import extract_rgbsigma_grid
+from nerf_mae_tpu.nerf.train import NeRFTrainer
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a per-scene NeRF + extract grid")
+    p.add_argument("--task", default="train_extract",
+                   choices=["train", "extract", "train_extract"])
+    p.add_argument("--scene_dir", required=True,
+                   help="dir containing transforms.json + images")
+    p.add_argument("--transforms", default="transforms.json")
+    p.add_argument("--scene_id", default="scene")
+    p.add_argument("--extract_dir", default="features")
+    p.add_argument("--params_out", default=None,
+                   help="npz to save/load trained NeRF params")
+    p.add_argument("--steps", default=20000, type=int)
+    p.add_argument("--lr", default=5e-4, type=float)
+    p.add_argument("--ray_batch", default=4096, type=int)
+    p.add_argument("--n_samples", default=64, type=int)
+    p.add_argument("--near", default=0.1, type=float)
+    p.add_argument("--far", default=10.0, type=float)
+    p.add_argument("--max_res", default=160, type=int)
+    p.add_argument("--bbox_min", nargs=3, type=float, default=None)
+    p.add_argument("--bbox_max", nargs=3, type=float, default=None)
+    p.add_argument("--bbox_json", default=None,
+                   help="instance bbox json (reference format) for scene bounds")
+    p.add_argument("--downscale", default=1, type=int)
+    p.add_argument("--white_bkgd", action="store_true")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    return p.parse_args(argv)
+
+
+def load_scene(scene_dir: str, transforms: str, downscale: int):
+    """instant-ngp transforms.json: camera_angle_x + frames[].file_path /
+    transform_matrix."""
+    from PIL import Image
+
+    with open(os.path.join(scene_dir, transforms)) as f:
+        meta = json.load(f)
+    images, poses = [], []
+    for fr in meta["frames"]:
+        path = os.path.join(scene_dir, fr["file_path"])
+        if not os.path.splitext(path)[1]:
+            path += ".png"
+        img = Image.open(path)
+        if downscale > 1:
+            img = img.resize((img.width // downscale, img.height // downscale))
+        arr = np.asarray(img, np.float32) / 255.0
+        if arr.shape[-1] == 4:  # composite alpha over black
+            arr = arr[..., :3] * arr[..., 3:]
+        images.append(arr)
+        poses.append(np.asarray(fr["transform_matrix"], np.float32))
+    images = np.stack(images)
+    poses = np.stack(poses)
+    h, w = images.shape[1:3]
+    focal = 0.5 * w / np.tan(0.5 * meta["camera_angle_x"])
+    return images, poses, focal
+
+
+def scene_bounds(args, poses):
+    if args.bbox_min is not None:
+        return np.asarray(args.bbox_min, np.float32), np.asarray(args.bbox_max, np.float32)
+    if args.bbox_json:
+        with open(args.bbox_json) as f:
+            bbox = json.load(f)
+        mins = np.asarray([i["min_pt"] for i in bbox["instances"]], np.float32)
+        maxs = np.asarray([i["max_pt"] for i in bbox["instances"]], np.float32)
+        return mins.min(0), maxs.max(0)
+    # fall back to the camera hull padded 20%
+    centers = poses[:, :3, 3]
+    lo, hi = centers.min(0), centers.max(0)
+    pad = 0.2 * (hi - lo + 1e-3)
+    return lo - pad, hi + pad
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup(args)
+    log = logging.getLogger("run_nerf")
+
+    images, poses, focal = load_scene(args.scene_dir, args.transforms,
+                                      args.downscale)
+    log.info("scene: %d views %dx%d focal %.1f", len(images),
+             images.shape[2], images.shape[1], focal)
+    bbox_min, bbox_max = scene_bounds(args, poses)
+    scene_scale = float(np.abs(np.concatenate([bbox_min, bbox_max])).max())
+
+    trainer = NeRFTrainer(
+        near=args.near, far=args.far, n_samples=args.n_samples, lr=args.lr,
+        ray_batch=args.ray_batch, scene_scale=scene_scale,
+        white_bkgd=args.white_bkgd,
+    )
+
+    params = None
+    if args.task in ("train", "train_extract"):
+        params, psnr = trainer.fit(images, poses, focal, steps=args.steps,
+                                   seed=args.seed)
+        log.info("trained: final train PSNR %.2f", psnr)
+        if args.params_out:
+            import pickle
+
+            with open(args.params_out, "wb") as f:
+                pickle.dump(jax.device_get(params), f)
+            log.info("saved params to %s", args.params_out)
+    if args.task == "extract" and args.params_out:
+        import pickle
+
+        with open(args.params_out, "rb") as f:
+            params = pickle.load(f)
+
+    if args.task in ("extract", "train_extract"):
+        out = extract_rgbsigma_grid(
+            params, trainer._apply, bbox_min, bbox_max, poses,
+            max_res=args.max_res,
+        )
+        os.makedirs(args.extract_dir, exist_ok=True)
+        path = os.path.join(args.extract_dir, f"{args.scene_id}.npz")
+        np.savez_compressed(path, **out)
+        log.info("extracted rgbsigma grid %s -> %s",
+                 out["rgbsigma"].shape, path)
+
+
+if __name__ == "__main__":
+    main()
