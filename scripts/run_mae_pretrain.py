@@ -70,6 +70,8 @@ def parse_args(argv=None):
     p.add_argument("--eval_json", default=None, help="dump eval metrics to json")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="override jax platform (e.g. cpu for smoke runs)")
+    p.add_argument("--log_dir", default=None, help="jsonl metric log dir")
+    p.add_argument("--wandb", action="store_true")
     return p.parse_args(argv)
 
 
@@ -190,6 +192,11 @@ def main(argv=None):
                  times.mean(), times.std(), args.batch_size)
         return
 
+    from nerf_mae_tpu.utils import MetricLogger
+
+    mlog = MetricLogger(args.log_dir, use_wandb=args.wandb,
+                        run_name=f"mae_{args.backbone_type}",
+                        config=vars(args))
     best_psnr = -1.0
     t0 = time.time()
     for step in range(1, total_steps + 1):
@@ -203,9 +210,12 @@ def main(argv=None):
                 step, total_steps, m["loss"], m["loss_rgb"], m["loss_alpha"],
                 m["grad_norm"], rate,
             )
+            mlog.log(step, {**m, "grids_per_sec": rate})
             t0 = time.time()
         if step % args.eval_interval == 0 and len(val_ds):
             agg = run_eval(state)
+            if agg:
+                mlog.log(step, {f"val_{k}": v for k, v in agg.items()})
             if agg.get("psnr", -1) > best_psnr:
                 best_psnr = agg["psnr"]
                 save_checkpoint(
