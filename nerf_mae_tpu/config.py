@@ -30,6 +30,9 @@ class SwinConfig:
     stochastic_depth_prob: float = 0.1
     expand_dim: bool = True
     norm_eps: float = 1e-5
+    # "auto": fused Pallas window attention on TPU, XLA path elsewhere;
+    # "pallas" / "xla" to force
+    attention_impl: str = "auto"
 
     def __post_init__(self):
         for dim, heads in zip(self.stage_dims, self.num_heads):

@@ -48,6 +48,18 @@ class SwinBlock3D(nn.Module):
     drop_path_rate: float = 0.0
     norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
+    attention_impl: str = "auto"  # auto | pallas | xla
+
+    def _use_pallas(self, shape) -> bool:
+        from nerf_mae_tpu.ops.pallas_attention import pallas_supported
+
+        if self.attention_impl == "xla":
+            return False
+        if not pallas_supported(shape, self.window, self.shift):
+            return False
+        if self.attention_impl == "pallas":
+            return True
+        return jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -75,17 +87,32 @@ class SwinBlock3D(nn.Module):
         )
 
         h = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm1")(x)
-        h = window_attention_3d(
-            h.astype(self.dtype),
-            qkv_kernel.astype(self.dtype),
-            qkv_bias,
-            proj_kernel.astype(self.dtype),
-            proj_bias,
-            bias_table,
-            self.window,
-            self.shift,
-            self.num_heads,
-        )
+        if self._use_pallas(x.shape):
+            from nerf_mae_tpu.ops.pallas_attention import fused_window_attention
+
+            h = fused_window_attention(
+                h.astype(self.dtype),
+                qkv_kernel.astype(self.dtype),
+                qkv_bias,
+                proj_kernel.astype(self.dtype),
+                proj_bias,
+                bias_table,
+                tuple(self.window),
+                tuple(self.shift),
+                self.num_heads,
+            )
+        else:
+            h = window_attention_3d(
+                h.astype(self.dtype),
+                qkv_kernel.astype(self.dtype),
+                qkv_bias,
+                proj_kernel.astype(self.dtype),
+                proj_bias,
+                bias_table,
+                self.window,
+                self.shift,
+                self.num_heads,
+            )
         rng = None
         if not deterministic and self.drop_path_rate > 0.0:
             rng = self.make_rng("droppath")
@@ -199,6 +226,7 @@ class SwinEncoder3D(nn.Module):
                     drop_path_rate=sd,
                     norm_eps=cfg.norm_eps,
                     dtype=self.dtype,
+                    attention_impl=cfg.attention_impl,
                     name=f"stage{i_stage}_block{i_layer}",
                 )(x, deterministic)
                 block_id += 1
