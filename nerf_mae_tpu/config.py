@@ -88,6 +88,9 @@ class MAEConfig:
     per_sample_mask: bool = True
     compute_dtype: str = "bfloat16"  # dtype for matmuls/convs; params stay fp32
     remat: bool = True  # jax.checkpoint each Swin stage + decoder block
+    # remat policy: "nothing" recomputes everything (min memory);
+    # "dots" saves matmul/conv outputs (less recompute, more HBM)
+    remat_policy: str = "nothing"
     # Final reconstruction stage:
     #   "subpixel" (TPU-native default): heavy convs stay at the token grid
     #     (40^3), voxels emitted via a depth-to-space projection — removes

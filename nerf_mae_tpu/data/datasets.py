@@ -325,6 +325,37 @@ def mae_batch_iterator(
             return
 
 
+class GeneralDataset:
+    """CSV-driven dataset: columns scene,rgbsigma_path,boxes_path
+    (reference: datasets.py:417-451 GeneralRPNDataset)."""
+
+    def __init__(self, csv_path: str, normalize_density: bool = True):
+        import csv
+
+        self.rows = []
+        with open(csv_path) as f:
+            for row in csv.DictReader(f):
+                self.rows.append(row)
+        self.normalize_density = normalize_density
+        self.scenes = [r["scene"] for r in self.rows]
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, index: int) -> Dict:
+        row = self.rows[index]
+        out = {
+            "scene": row["scene"],
+            "rgbsigma": _load_rgbsigma(
+                row["rgbsigma_path"], self.normalize_density, density_to_alpha
+            ),
+        }
+        bp = row.get("boxes_path")
+        if bp and bp != "None":
+            out["boxes"] = np.load(bp).astype(np.float32)
+        return out
+
+
 class ConcatDataset:
     """Concatenation of scene datasets for multi-dataset pretraining
     (the reference trains on Front3D + HM3D + Hypersim jointly,

@@ -30,6 +30,7 @@ class FCOSDetector(nn.Module):
     out_channels: int = 256
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = True
+    output_objectness: bool = False  # include per-voxel score grids at eval
 
     def setup(self):
         if self.backbone.startswith("swin"):
@@ -64,4 +65,10 @@ class FCOSDetector(nn.Module):
             return fcos_loss(
                 self.fcos, logits, bbox_reg, ctr, gt_boxes, gt_valid, sizes
             )
-        return fcos_postprocess(self.fcos, logits, bbox_reg, ctr, sizes)
+        out = fcos_postprocess(self.fcos, logits, bbox_reg, ctr, sizes)
+        if self.output_objectness:
+            from nerf_mae_tpu.models.fcos import fcos_objectness
+
+            for lvl, ob in enumerate(fcos_objectness(logits, ctr)):
+                out[f"objectness_level{lvl}"] = ob
+        return out

@@ -281,6 +281,18 @@ def _aabb_iou_loss(pred, target, loss_type: str):
     raise ValueError(loss_type)
 
 
+def fcos_objectness(logits: List[jnp.ndarray], ctr: List[jnp.ndarray]):
+    """Per-level per-voxel objectness grids sqrt(sigmoid(cls)*sigmoid(ctr))
+    (reference: fcos/fcos.py:322-337 output_objectness)."""
+    return [
+        jnp.sqrt(jnp.clip(
+            jax.nn.sigmoid(l[..., 0].astype(jnp.float32))
+            * jax.nn.sigmoid(c[..., 0].astype(jnp.float32)), 0.0,
+        ))
+        for l, c in zip(logits, ctr)
+    ]
+
+
 def fcos_postprocess(
     cfg: FCOSConfig,
     logits: List[jnp.ndarray],

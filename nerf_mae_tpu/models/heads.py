@@ -51,7 +51,8 @@ class _MAETrunkWithDecoder(nn.Module):
             dtype=dtype,
         )
         self.patch_norm = nn.LayerNorm(epsilon=cfg.swin.norm_eps, dtype=jnp.float32)
-        self.encoder = SwinEncoder3D(cfg=cfg.swin, dtype=dtype, remat=cfg.remat)
+        self.encoder = SwinEncoder3D(cfg=cfg.swin, dtype=dtype, remat=cfg.remat,
+                                     remat_policy=cfg.remat_policy)
         up_cls = nn.remat(UnetrUpBlock3D) if cfg.remat else UnetrUpBlock3D
         e = cfg.swin.embed_dim
         self.decoder4 = up_cls(e * 4, dtype=dtype)

@@ -54,17 +54,28 @@ class SwinMAE3D(nn.Module):
         self.mask_token = self.param(
             "mask_token", nn.initializers.normal(0.02), (cfg.swin.embed_dim,)
         )
-        self.encoder = SwinEncoder3D(cfg=cfg.swin, dtype=dtype, remat=cfg.remat)
+        self.encoder = SwinEncoder3D(cfg=cfg.swin, dtype=dtype, remat=cfg.remat,
+                                     remat_policy=cfg.remat_policy)
         # UNETR decode with skip connections from every encoder stage
         # (reference: swin_mae3d.py:1224-1257, 1486-1495). The full-res
         # decoder activations dominate HBM at 160^3 — remat each block.
-        up_cls = nn.remat(UnetrUpBlock3D) if cfg.remat else UnetrUpBlock3D
+        policy = (
+            jax.checkpoint_policies.dots_saveable
+            if cfg.remat_policy == "dots" else None
+        )
+        up_cls = (
+            nn.remat(UnetrUpBlock3D, policy=policy) if cfg.remat
+            else UnetrUpBlock3D
+        )
         e = cfg.swin.embed_dim
         self.decoder4 = up_cls(e * 4, dtype=dtype)
         self.decoder3 = up_cls(e * 2, dtype=dtype)
         self.decoder2 = up_cls(e * 1, dtype=dtype)
         if cfg.decoder_type == "subpixel":
-            head_cls = nn.remat(SubpixelHead3D) if cfg.remat else SubpixelHead3D
+            head_cls = (
+                nn.remat(SubpixelHead3D, policy=policy) if cfg.remat
+                else SubpixelHead3D
+            )
             self.subpixel_head = head_cls(
                 cfg.out_channels, patch=cfg.swin.patch_size[0], dtype=dtype
             )

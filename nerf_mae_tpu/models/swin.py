@@ -192,6 +192,7 @@ class SwinEncoder3D(nn.Module):
     cfg: SwinConfig
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    remat_policy: str = "nothing"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
@@ -201,7 +202,12 @@ class SwinEncoder3D(nn.Module):
         features = []
         block_cls = SwinBlock3D
         if self.remat:
-            block_cls = nn.remat(SwinBlock3D, static_argnums=(2,))
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if self.remat_policy == "dots" else None
+            )
+            block_cls = nn.remat(SwinBlock3D, static_argnums=(2,),
+                                 policy=policy)
         for i_stage, depth in enumerate(cfg.depths):
             dim = cfg.stage_dims[i_stage]
             if i_stage > 0:

@@ -38,6 +38,7 @@ class DetectionTrainer:
     backbone: str = "swin_s"
     compute_dtype: str = "bfloat16"
     remat: bool = True
+    output_objectness: bool = False
 
     def __post_init__(self):
         self.model = FCOSDetector(
@@ -46,6 +47,7 @@ class DetectionTrainer:
             backbone=self.backbone,
             dtype=jnp.dtype(self.compute_dtype),
             remat=self.remat,
+            output_objectness=self.output_objectness,
         )
         self.tx = make_optimizer(self.train_cfg, self.total_steps)
         rep = None

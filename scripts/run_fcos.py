@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--min_size", default=0.0, type=float)
     p.add_argument("--max_gt", default=64, type=int)
     p.add_argument("--out_channels", default=256, type=int)
+    p.add_argument("--output_voxel_scores", default=None,
+                   help="dir for per-voxel objectness npz dumps during eval "
+                        "(reference: fcos/fcos.py:322 output_objectness)")
     return p.parse_args(argv)
 
 
@@ -118,6 +121,7 @@ def main(argv=None):
         backbone=args.backbone_type,
         compute_dtype=args.compute_dtype,
         remat=not args.no_remat,
+        output_objectness=args.output_voxel_scores is not None,
     )
     state = trainer.init(jax.random.PRNGKey(args.seed))
     if args.mae_checkpoint:
@@ -148,6 +152,21 @@ def main(argv=None):
                 continue
             det = trainer.predict_step(state, shard_batch(batch, mesh))
             det = {k: np.asarray(v) for k, v in det.items()}
+            if args.output_voxel_scores:
+                import os
+
+                os.makedirs(args.output_voxel_scores, exist_ok=True)
+                for i in range(batch["grids"].shape[0]):
+                    dump = {}
+                    for lvl, s in enumerate(fcos.strides):
+                        ob = det[f"objectness_level{lvl}"][i]
+                        lim = np.ceil(batch["sizes"][i] / s).astype(int)
+                        dump[str(lvl)] = ob[: lim[0], : lim[1], : lim[2]]
+                    np.savez_compressed(
+                        os.path.join(args.output_voxel_scores,
+                                     f"scene_{len(props) + i}.npz"),
+                        **dump,
+                    )
             for i in range(batch["grids"].shape[0]):
                 keep = det["valid"][i]
                 boxes = det["boxes"][i][keep]

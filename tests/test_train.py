@@ -225,3 +225,49 @@ class TestGraftEntry:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestGeneralDataset:
+    def test_csv_loading(self, tmp_path):
+        import csv
+
+        rs = np.random.RandomState(0)
+        g = rs.rand(8, 8, 8, 4).astype(np.float32)
+        np.savez(tmp_path / "s1.npz", rgbsigma=g)
+        boxes = np.array([[1, 1, 1, 5, 5, 5]], np.float32)
+        np.save(tmp_path / "s1.npy", boxes)
+        with open(tmp_path / "scenes.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, ["scene", "rgbsigma_path", "boxes_path"])
+            w.writeheader()
+            w.writerow({"scene": "s1", "rgbsigma_path": str(tmp_path / "s1.npz"),
+                        "boxes_path": str(tmp_path / "s1.npy")})
+            w.writerow({"scene": "s2", "rgbsigma_path": str(tmp_path / "s1.npz"),
+                        "boxes_path": "None"})
+        from nerf_mae_tpu.data.datasets import GeneralDataset
+
+        ds = GeneralDataset(str(tmp_path / "scenes.csv"))
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["rgbsigma"].shape == (8, 8, 8, 4)
+        np.testing.assert_array_equal(item["boxes"], boxes)
+        assert "boxes" not in ds[1]
+
+
+class TestConcatDataset:
+    def test_concat_indexing(self):
+        from nerf_mae_tpu.data.datasets import ConcatDataset
+
+        class _D:
+            def __init__(self, tag, n):
+                self.tag, self.n = tag, n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return (self.tag, i)
+
+        ds = ConcatDataset(_D("a", 2), None, _D("b", 3))
+        assert len(ds) == 5
+        assert ds[0] == ("a", 0) and ds[1] == ("a", 1)
+        assert ds[2] == ("b", 0) and ds[4] == ("b", 2)
