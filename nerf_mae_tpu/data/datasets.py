@@ -285,9 +285,14 @@ def _trilinear_gather_zeros(g: np.ndarray, idx: np.ndarray) -> np.ndarray:
 
 
 def pad_to_cube(g: np.ndarray, resolution: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Crop-to-fit + zero-pad a (W, L, H, C) grid to resolution^3."""
+    """Crop-to-fit + zero-pad a (W, L, H, C) grid to resolution^3.
+    Uses the native C++ path (data/native.py) when built."""
+    size = np.minimum(np.asarray(g.shape[:3], np.int64), resolution).astype(np.int32)
+    from nerf_mae_tpu.data import native
+
+    if native.available():
+        return native.pad_to_cube(g, resolution), size
     g = g[:resolution, :resolution, :resolution]
-    size = np.asarray(g.shape[:3], np.int32)
     out = np.zeros((resolution, resolution, resolution, g.shape[3]), np.float32)
     out[: size[0], : size[1], : size[2]] = g
     return out, size

@@ -179,6 +179,25 @@ def voxel_semantics_loss(
     return ce, {"ce": ce, "soft_miou": miou}
 
 
+def calculate_class_weights(label_grids, num_classes: int, c: float = 1.02):
+    """Log-propensity class weights from training label grids
+    (reference: metrics.py:383-427): w_k = 1 / log(c + freq_k), void class
+    zeroed."""
+    import numpy as np
+
+    counts = np.zeros(num_classes, np.float64)
+    total = 0
+    for grid in label_grids:
+        flat = np.asarray(grid).reshape(-1)
+        flat = flat[flat != 0]
+        counts += np.bincount(flat, minlength=num_classes)[:num_classes]
+        total += flat.size
+    counts[0] = 0
+    weights = 1.0 / np.log(c + counts / max(total, 1))
+    weights[0] = 0.0
+    return weights.astype(np.float32)
+
+
 def intersection_and_union(
     pred_labels, target, num_classes: int, ignore_zero: bool = True
 ):
