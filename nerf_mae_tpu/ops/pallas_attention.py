@@ -42,9 +42,9 @@ from nerf_mae_tpu.ops.window_attention import (
 
 def _pick_group(n_windows: int, num_heads: int) -> int:
     """Windows per program: feed the MXU bigger qkv/proj matmuls, but cap
-    the unrolled per-head attention loop at ~32 matmuls."""
-    for wp in (8, 5, 4, 2):
-        if n_windows % wp == 0 and wp * num_heads <= 32:
+    the unrolled per-head attention loop (compile time / code size)."""
+    for wp in (8, 5, 4, 3, 2):
+        if n_windows % wp == 0 and wp * num_heads <= 64:
             return wp
     return 1
 
@@ -179,15 +179,16 @@ def _pallas_window_attention_fwd(
 
 
 def pallas_supported(shape, window, shift) -> bool:
-    """Fused path requires window-divisible grids (no pad), token count a
-    sublane multiple, and channel count a lane multiple."""
-    _, g0, g1, g2, c = shape
-    if any(g % w for g, w in zip((g0, g1, g2), window)):
-        return False
+    """Fused path handles non-divisible grids by zero-padding (same
+    semantics as the XLA path); it only needs the per-window token count on
+    a sublane multiple and a sane channel count."""
+    c = shape[-1]
     # blocks always span the full N and C dims, so the (8, 128) tiling rule
-    # is satisfied whenever N is a sublane multiple
+    # is satisfied whenever N is a sublane multiple. C is capped because the
+    # double-buffered qkv/proj weights must fit scoped VMEM (C=1024 needs
+    # ~17MB > the 16MB budget); the large-C stages have few tokens anyway.
     n = window[0] * window[1] * window[2]
-    return n % 8 == 0 and c % 8 == 0
+    return n % 8 == 0 and c % 8 == 0 and c <= 512
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -197,10 +198,16 @@ def fused_window_attention(
 ):
     """Shifted-window MSA with fused Pallas forward and jnp-derived backward.
     Same contract as ops.window_attention_3d (minus the padding path)."""
-    shift = tuple(
-        0 if window[i] >= x.shape[1 + i] else shift[i] for i in range(3)
-    )
+    b, g0, g1, g2, c = x.shape
+    # zero-pad to window multiples; padded tokens attend like the XLA path
+    # (reference pads with zeros too — swin_mae3d.py:61-65)
+    pad = tuple((window[i] - (g0, g1, g2)[i] % window[i]) % window[i]
+                for i in range(3))
     h = x
+    if any(pad):
+        h = jnp.pad(h, ((0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)))
+    ph = (g0 + pad[0], g1 + pad[1], g2 + pad[2])
+    shift = tuple(0 if window[i] >= ph[i] else shift[i] for i in range(3))
     if sum(shift) > 0:
         h = jnp.roll(h, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
     h = _pallas_window_attention_fwd(
@@ -209,6 +216,8 @@ def fused_window_attention(
     )
     if sum(shift) > 0:
         h = jnp.roll(h, shift, axis=(1, 2, 3))
+    if any(pad):
+        h = h[:, :g0, :g1, :g2, :]
     return h
 
 

@@ -64,7 +64,27 @@ def test_gradients_match(shift=(2, 2, 2)):
 
 def test_supported_predicate():
     assert pallas_supported((1, 8, 8, 8, 16), (4, 4, 4), (0, 0, 0))
-    assert not pallas_supported((1, 5, 8, 8, 16), (4, 4, 4), (0, 0, 0))
+    # non-divisible grids are handled by padding
+    assert pallas_supported((1, 5, 8, 8, 16), (4, 4, 4), (0, 0, 0))
+
+
+@pytest.mark.parametrize("shift", [(0, 0, 0), (2, 2, 2)])
+def test_padded_grid_matches_xla(shift):
+    # 10^3 grid (swin stage-2 shape class): window 4 requires padding
+    rs = np.random.RandomState(3)
+    c, heads = 16, 4
+    x = jnp.asarray(rs.randn(2, 10, 10, 10, c).astype(np.float32))
+    p = make_params(rs, c, heads)
+    got = fused_window_attention(
+        x, p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"], p["proj_bias"],
+        p["bias_table"], (4, 4, 4), shift, heads,
+    )
+    want = window_attention_3d(
+        x, p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"], p["proj_bias"],
+        p["bias_table"], (4, 4, 4), shift, heads,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_model_forced_pallas_matches_xla():
