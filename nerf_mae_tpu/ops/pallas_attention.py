@@ -221,6 +221,190 @@ def fused_window_attention(
     return h
 
 
+def _fused_window_attn_bwd_kernel(
+    x_ref,  # [WP, N, C]
+    qkv_w_ref,  # [C, 3C]
+    qkv_b_ref,  # [1, 3C]
+    proj_w_ref,  # [C, C]
+    bias_ref,  # [WP, heads, N, N]
+    dy_ref,  # [WP, N, C]
+    dx_ref,  # [WP, N, C] out
+    dqkv_w_ref,  # [C, 3C] out, accumulated over the grid
+    dqkv_b_ref,  # [1, 3C] out, accumulated
+    dproj_w_ref,  # [C, C] out, accumulated
+    dproj_b_ref,  # [1, C] out, accumulated
+    dlogit_ref,  # [heads, N, N] out, accumulated (bias-table grad precursor)
+    *,
+    num_heads: int,
+):
+    """Backward of the fused window MSA: recomputes the forward in VMEM,
+    then chains the VJP by hand. Weight/bias/logit grads accumulate across
+    the (sequential) TPU grid into constant-index output blocks."""
+    wp, n, c = x_ref.shape
+    hd = c // num_heads
+    scale = hd ** -0.5
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        dqkv_w_ref[...] = jnp.zeros_like(dqkv_w_ref)
+        dqkv_b_ref[...] = jnp.zeros_like(dqkv_b_ref)
+        dproj_w_ref[...] = jnp.zeros_like(dproj_w_ref)
+        dproj_b_ref[...] = jnp.zeros_like(dproj_b_ref)
+        dlogit_ref[...] = jnp.zeros_like(dlogit_ref)
+
+    x = x_ref[...].reshape(wp * n, c)
+    dy = dy_ref[...].reshape(wp * n, c).astype(jnp.float32)
+
+    # ---- recompute forward ----
+    qkv = (
+        jnp.dot(x, qkv_w_ref[...], preferred_element_type=jnp.float32)
+        + qkv_b_ref[...]
+    )  # [WP*N, 3C]
+
+    # dO = dY @ Wp^T ; proj grads need o (rebuilt below per head)
+    do = jax.lax.dot_general(
+        dy.astype(x_ref.dtype), proj_w_ref[...],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [WP*N, C]
+    dproj_b_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+
+    o_rows, dqkv_rows = [], []
+    for w in range(wp):
+        rows = slice(w * n, (w + 1) * n)
+        head_o, dqs, dks, dvs = [], [], [], []
+        for h in range(num_heads):
+            q = qkv[rows, h * hd:(h + 1) * hd] * scale
+            k = qkv[rows, c + h * hd: c + (h + 1) * hd]
+            v = qkv[rows, 2 * c + h * hd: 2 * c + (h + 1) * hd]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias_ref[w, h]
+            p = jax.nn.softmax(logits, axis=-1)  # [N, N]
+            head_o.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
+
+            do_h = do[rows, h * hd:(h + 1) * hd]  # [N, hd]
+            dp = jax.lax.dot_general(
+                do_h, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N, N]
+            dvs.append(jax.lax.dot_general(
+                p, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))  # [N, hd]
+            dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dlogit_ref[h] += dl
+            dqs.append(
+                jnp.dot(dl, k, preferred_element_type=jnp.float32) * scale
+            )
+            dks.append(jax.lax.dot_general(
+                dl, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))  # [N, hd]  (note: q here carries the fwd scale; see below)
+        o_rows.append(jnp.concatenate(head_o, axis=-1))
+        dqkv_rows.append(jnp.concatenate(dqs + dks + dvs, axis=-1))
+    o = jnp.concatenate(o_rows, axis=0)  # [WP*N, C]
+    dqkv = jnp.concatenate(dqkv_rows, axis=0)  # [WP*N, 3C]
+
+    dproj_w_ref[...] += jax.lax.dot_general(
+        o.astype(x_ref.dtype), dy.astype(x_ref.dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(dproj_w_ref.dtype)
+
+    dqkv_b_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dqkv_w_ref[...] += jax.lax.dot_general(
+        x, dqkv.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dqkv_w_ref.dtype)
+
+    dx = jax.lax.dot_general(
+        dqkv.astype(x_ref.dtype), qkv_w_ref[...],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(wp, n, c)
+
+
+def _pallas_window_attention_bwd(
+    x, qkv_kernel, qkv_bias, proj_kernel, bias_table, dy,
+    window, shift, num_heads,
+):
+    """Runs the backward kernel on pre-shifted/padded tensors.
+    Returns (dx, dWqkv, dbqkv, dWp, dbp, dtable)."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    n = window[0] * window[1] * window[2]
+    xw, counts = window_partition_3d(x, window)
+    n_windows = xw.shape[1]
+    xw = xw.reshape(b * n_windows, n, c)
+    dyw, _ = window_partition_3d(dy, window)
+    dyw = dyw.reshape(b * n_windows, n, c)
+
+    rel_idx = jnp.asarray(relative_position_index_3d(tuple(window)))
+    rel_bias = bias_table[rel_idx].transpose(2, 0, 1).astype(jnp.float32)
+    shift_m = jnp.asarray(
+        _shift_mask_np(tuple(window), x.shape[1:4], tuple(shift))
+    )
+    bias = rel_bias[None] + shift_m
+
+    wp = _pick_group(n_windows, num_heads)
+    grid = (b * n_windows // wp,)
+    kernel = functools.partial(_fused_window_attn_bwd_kernel,
+                               num_heads=num_heads)
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    dx, dw_qkv, db_qkv, dw_p, db_p, dlogit = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(c, 3 * c),
+            const(1, 3 * c),
+            const(c, c),
+            pl.BlockSpec(
+                (wp, num_heads, n, n),
+                lambda i, _nw=n_windows // wp: (i % _nw, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(c, 3 * c),
+            const(1, 3 * c),
+            const(c, c),
+            const(1, c),
+            const(num_heads, n, n),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(xw.shape, x.dtype),
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        xw,
+        qkv_kernel.astype(x.dtype),
+        qkv_bias.astype(jnp.float32).reshape(1, -1),
+        proj_kernel.astype(x.dtype),
+        bias,
+        dyw,
+    )
+    dx = window_unpartition_3d(dx.reshape(b, n_windows, n, c), window, counts)
+    # bias-table grad: scatter the accumulated per-position logit grads
+    dtable = jnp.zeros_like(bias_table)
+    dtable = dtable.at[rel_idx.reshape(-1)].add(
+        dlogit.transpose(1, 2, 0).reshape(-1, num_heads)
+    )
+    return dx, dw_qkv, db_qkv.reshape(-1), dw_p, db_p.reshape(-1), dtable
+
+
 def _fwd(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias_table,
          window, shift, num_heads):
     out = fused_window_attention(
@@ -232,13 +416,42 @@ def _fwd(x, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias_table,
 
 def _bwd(window, shift, num_heads, residuals, g):
     x, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias_table = residuals
-    _, vjp = jax.vjp(
-        lambda *args: window_attention_3d(
-            *args, window=window, shift=shift, num_heads=num_heads
-        ),
-        x, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias_table,
+    b, g0, g1, g2, c = x.shape
+    pad = tuple((window[i] - (g0, g1, g2)[i] % window[i]) % window[i]
+                for i in range(3))
+    ph = (g0 + pad[0], g1 + pad[1], g2 + pad[2])
+    eff_shift = tuple(0 if window[i] >= ph[i] else shift[i] for i in range(3))
+
+    h = x
+    gy = g
+    if any(pad):
+        widths = ((0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0))
+        h = jnp.pad(h, widths)
+        gy = jnp.pad(gy, widths)
+    if sum(eff_shift) > 0:
+        roll = (-eff_shift[0], -eff_shift[1], -eff_shift[2])
+        h = jnp.roll(h, roll, axis=(1, 2, 3))
+        gy = jnp.roll(gy, roll, axis=(1, 2, 3))
+
+    dx, dw_qkv, db_qkv, dw_p, db_p, dtable = _pallas_window_attention_bwd(
+        h, qkv_kernel, qkv_bias, proj_kernel, bias_table, gy,
+        tuple(window), eff_shift, num_heads,
     )
-    return vjp(g)
+    # dproj_bias: independent of windowing — sum of incoming grads
+    db_p = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2, 3))
+
+    if sum(eff_shift) > 0:
+        dx = jnp.roll(dx, eff_shift, axis=(1, 2, 3))
+    if any(pad):
+        dx = dx[:, :g0, :g1, :g2, :]
+    return (
+        dx.astype(x.dtype),
+        dw_qkv.astype(qkv_kernel.dtype),
+        db_qkv.astype(qkv_bias.dtype),
+        dw_p.astype(proj_kernel.dtype),
+        db_p.astype(proj_bias.dtype),
+        dtable.astype(bias_table.dtype),
+    )
 
 
 fused_window_attention.defvjp(_fwd, _bwd)

@@ -55,11 +55,35 @@ def test_gradients_match(shift=(2, 2, 2)):
     def loss_xla(*a):
         return (window_attention_3d(*a, (4, 4, 4), shift, heads) ** 2).sum()
 
-    g1 = jax.grad(loss_fused, argnums=(0, 1, 3))(*args)
-    g2 = jax.grad(loss_xla, argnums=(0, 1, 3))(*args)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=5e-3)
+    g1 = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    g2 = jax.grad(loss_xla, argnums=tuple(range(6)))(*args)
+    for i, (a, b) in enumerate(zip(g1, g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3,
+            err_msg=f"grad argnum {i}",
+        )
+
+
+def test_gradients_match_padded_grid():
+    rs = np.random.RandomState(2)
+    c, heads = 8, 2
+    x = jnp.asarray(rs.randn(1, 6, 6, 6, c).astype(np.float32))
+    p = make_params(rs, c, heads)
+    args = (x, p["qkv_kernel"], p["qkv_bias"], p["proj_kernel"],
+            p["proj_bias"], p["bias_table"])
+    g1 = jax.grad(
+        lambda *a: (fused_window_attention(*a, (4, 4, 4), (2, 2, 2), heads) ** 2).sum(),
+        argnums=tuple(range(6)),
+    )(*args)
+    g2 = jax.grad(
+        lambda *a: (window_attention_3d(*a, (4, 4, 4), (2, 2, 2), heads) ** 2).sum(),
+        argnums=tuple(range(6)),
+    )(*args)
+    for i, (a, b) in enumerate(zip(g1, g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3,
+            err_msg=f"grad argnum {i}",
+        )
 
 
 def test_supported_predicate():
