@@ -8,6 +8,20 @@ from nerf_mae_tpu.ops.window_attention import (
     shifted_window_mask,
     window_attention_3d,
 )
+from nerf_mae_tpu.ops.boxes import (
+    box_iou_aabb,
+    box_volume,
+    clip_boxes_to_grid,
+    small_box_mask,
+)
+from nerf_mae_tpu.ops.rotated_iou import (
+    box_iou_obb_pairwise,
+    diou_3d_loss,
+    giou_3d_loss,
+    iou_3d,
+)
+from nerf_mae_tpu.ops.nms import nms_mask
+from nerf_mae_tpu.ops.pallas_attention import fused_window_attention
 
 __all__ = [
     "sincos_pos_embed_3d",
@@ -20,4 +34,14 @@ __all__ = [
     "relative_position_index_3d",
     "shifted_window_mask",
     "window_attention_3d",
+    "box_iou_aabb",
+    "box_volume",
+    "clip_boxes_to_grid",
+    "small_box_mask",
+    "box_iou_obb_pairwise",
+    "iou_3d",
+    "giou_3d_loss",
+    "diou_3d_loss",
+    "nms_mask",
+    "fused_window_attention",
 ]
