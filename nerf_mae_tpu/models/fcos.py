@@ -45,6 +45,8 @@ class FCOSConfig:
     center_sampling_radius: float = 1.5
     iou_loss_type: str = "iou"  # iou | linear_iou | giou | diou | smooth_l1
     use_additional_l1_loss: bool = False
+    reg_loss_weight: float = 1.0  # (reference: run_fcos_pretrained.py:154)
+    proj2d_loss_weight: float = 0.0  # OBB-only aux loss (fcos/loss.py:579)
     # post-processing (reference: run_fcos_pretrained.py:273-292)
     pre_nms_thresh: float = 0.0
     pre_nms_top_n: int = 2500
@@ -241,7 +243,15 @@ def fcos_loss(
         optax_sigmoid_ce(ctr_flat, ctr_targets) * pos
     ).sum() / num_pos_norm
 
-    total = cls_loss + reg_loss + ctr_loss
+    if cfg.use_obb and cfg.proj2d_loss_weight > 0:
+        from nerf_mae_tpu.ops.projection import projection_2d_loss
+
+        loss_2d = projection_2d_loss(
+            pred_boxes, tgt_boxes, ctr_targets * pos, cfg.resolution
+        ) / sum_ctr * jnp.maximum((ctr_targets * pos).sum(), 1.0)
+        reg_loss = reg_loss + cfg.proj2d_loss_weight * loss_2d
+
+    total = cls_loss + cfg.reg_loss_weight * reg_loss + ctr_loss
     return total, {
         "loss_cls": cls_loss,
         "loss_reg": reg_loss,

@@ -59,6 +59,8 @@ class RPNConfig:
     bg_iou_thresh: float = 0.2
     batch_size_per_mesh: int = 256
     positive_fraction: float = 0.5
+    reg_loss_weight: float = 5.0  # (reference: run_rpn.py:89)
+    proj2d_loss_weight: float = 0.0  # (reference: run_rpn.py:91, default 0)
     pre_nms_top_n: int = 2500
     post_nms_top_n: int = 2500
     nms_thresh: float = 0.3
@@ -164,8 +166,9 @@ def rpn_loss(
 ):
     """Objectness BCE over a balanced sample + box regression on positives
     (reference: rpn.py:372-456; smooth-L1 beta 1/9 sum / num_sampled, or
-    rotated-IoU on decoded boxes). The reference's always-on 2D projection
-    loss is intentionally omitted (weight-0 equivalent)."""
+    rotated-IoU on decoded boxes), plus the optional 2D projection loss
+    (enabled via proj2d_loss_weight; the reference computes it always but
+    weights it 0 by default — run_rpn.py:91)."""
     labels, reg_targets, matched = rpn_assign_and_encode(
         cfg, anchors, anchor_valid, gt_boxes, gt_valid
     )
@@ -222,10 +225,25 @@ def rpn_loss(
     )
     obj_loss = (logp * sampled).sum() / n_sampled
 
-    return obj_loss, reg_loss, {
-        "num_pos": pos.sum(),
-        "num_sampled": sampled.sum(),
-    }
+    aux = {"num_pos": pos.sum(), "num_sampled": sampled.sum()}
+    if cfg.proj2d_loss_weight > 0:
+        from nerf_mae_tpu.ops.projection import projection_2d_loss
+
+        if cfg.rotated_bbox:
+            decoded2 = decode_midpoint_offset(pred_deltas, anchors[None])
+            safe = jnp.array([0, 0, 0, 1, 1, 1, 0], jnp.float32)
+            decoded2 = jnp.where(pos_mask[..., None], decoded2, safe)
+            matched2 = jnp.where(pos_mask[..., None], matched, safe)
+        else:
+            decoded2 = decode_aabb_deltas(pred_deltas, anchors[None])
+            safe = jnp.array([0, 0, 0, 1, 1, 1], jnp.float32)
+            decoded2 = jnp.where(pos_mask[..., None], decoded2, safe)
+            matched2 = jnp.where(pos_mask[..., None], matched, safe)
+        loss_2d = projection_2d_loss(decoded2, matched2, pos, cfg.resolution)
+        aux["loss_reg_2d"] = loss_2d
+        reg_loss = reg_loss + cfg.proj2d_loss_weight * loss_2d
+
+    return obj_loss, reg_loss, aux
 
 
 def rpn_filter_proposals(
@@ -356,7 +374,7 @@ class NeRFRPN(nn.Module):
                 cfg, rng, objectness, pred_deltas, anchors, anchor_valid,
                 gt_boxes, gt_valid,
             )
-            total = obj_loss + reg_loss
+            total = obj_loss + cfg.reg_loss_weight * reg_loss
             return total, {"loss_objectness": obj_loss, "loss_reg": reg_loss, **aux}
         return rpn_filter_proposals(
             cfg, objectness, pred_deltas, anchors, level_ids, anchor_valid, sizes
