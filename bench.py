@@ -40,8 +40,10 @@ def main():
 
     rng = np.random.RandomState(0)
     value = None
-    for batch_size in (32 * n_chips, 16 * n_chips, 8 * n_chips, 4 * n_chips,
-                       2 * n_chips, n_chips):
+    # batch 8/chip is the measured operating point (PERF.md); try it first —
+    # larger batches OOM on v5e and each failed probe costs a ~5 min remote
+    # compile
+    for batch_size in (8 * n_chips, 4 * n_chips, 2 * n_chips, n_chips):
         try:
             trainer = MAETrainer(cfg, TrainConfig(batch_size=batch_size), 1000, mesh)
             state = trainer.init(jax.random.PRNGKey(0))
