@@ -17,9 +17,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first n (default: all) devices."""
+    """1-D data-parallel mesh over the first n (default: all) devices.
+
+    Raises if fewer than n_devices exist — a silently truncated mesh would
+    make a "multi-chip" dryrun prove nothing.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: asked for {n_devices} devices but only "
+                f"{len(devices)} present on platform "
+                f"{devices[0].platform if devices else '?'}; for a virtual "
+                "multi-device run set JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 
