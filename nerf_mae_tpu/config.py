@@ -8,7 +8,7 @@ with one dataclass tree shared by every task.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
@@ -91,6 +91,11 @@ class MAEConfig:
     # remat policy: "nothing" recomputes everything (min memory);
     # "dots" saves matmul/conv outputs (less recompute, more HBM)
     remat_policy: str = "nothing"
+    # Per-encoder-stage remat override (tuple of bools, one per stage), or
+    # None = `remat` everywhere. Late stages (10^3/5^3 token grids) have tiny
+    # activations — skipping their remat saves a full forward recompute in
+    # the backward pass for almost no HBM cost.
+    remat_stages: Optional[Tuple[bool, ...]] = None
     # Final reconstruction stage:
     #   "subpixel" (TPU-native default): heavy convs stay at the token grid
     #     (40^3), voxels emitted via a depth-to-space projection — removes

@@ -55,7 +55,8 @@ class SwinMAE3D(nn.Module):
             "mask_token", nn.initializers.normal(0.02), (cfg.swin.embed_dim,)
         )
         self.encoder = SwinEncoder3D(cfg=cfg.swin, dtype=dtype, remat=cfg.remat,
-                                     remat_policy=cfg.remat_policy)
+                                     remat_policy=cfg.remat_policy,
+                                     remat_stages=cfg.remat_stages)
         # UNETR decode with skip connections from every encoder stage
         # (reference: swin_mae3d.py:1224-1257, 1486-1495). The full-res
         # decoder activations dominate HBM at 160^3 — remat each block.

@@ -34,10 +34,66 @@ def drop_path(
     return x * keep.astype(x.dtype) / (1.0 - rate)
 
 
+class _LNParams(nn.Module):
+    """Param holder matching nn.LayerNorm's tree ({scale, bias}) so both the
+    fused-block kernel and the manual XLA path read the same parameters."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Param holder matching nn.Dense's tree ({kernel, bias})."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.xavier_uniform(),
+                (self.in_features, self.out_features),
+            ),
+            self.param(
+                "bias", nn.initializers.normal(1e-6), (self.out_features,)
+            ),
+        )
+
+
+def layer_norm(x: jnp.ndarray, scale, bias, eps: float) -> jnp.ndarray:
+    """f32 LayerNorm with flax's fast-variance formula; returns f32."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _dense(x: jnp.ndarray, kernel, bias, dtype) -> jnp.ndarray:
+    """nn.Dense-equivalent matmul at compute dtype, f32 accumulation."""
+    y = jax.lax.dot_general(
+        x.astype(dtype), kernel.astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    return y + bias.astype(dtype)
+
+
 class SwinBlock3D(nn.Module):
     """One Swin block: LN -> window MSA -> droppath residual -> LN -> MLP.
 
     (reference: swin_mae3d.py:310-369)
+
+    On TPU the whole block runs as one fused Pallas kernel when the stage
+    qualifies (ops/pallas_block.py); otherwise the attention runs fused
+    (ops/pallas_attention.py) with LN/MLP left to XLA; off-TPU everything
+    is plain XLA. All paths share one param tree and the same math.
     """
 
     dim: int
@@ -50,16 +106,38 @@ class SwinBlock3D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "auto"  # auto | pallas | xla
 
-    def _use_pallas(self, shape) -> bool:
-        from nerf_mae_tpu.ops.pallas_attention import pallas_supported
-
+    def _pallas_wanted(self) -> bool:
         if self.attention_impl == "xla":
-            return False
-        if not pallas_supported(shape, self.window, self.shift):
             return False
         if self.attention_impl == "pallas":
             return True
         return jax.default_backend() == "tpu"
+
+    def _use_fused_block(self, shape) -> bool:
+        from nerf_mae_tpu.ops.pallas_block import fused_block_supported
+
+        return self._pallas_wanted() and fused_block_supported(
+            shape, self.window, self.num_heads, self.mlp_ratio
+        )
+
+    def _use_pallas_attn(self, shape) -> bool:
+        from nerf_mae_tpu.ops.pallas_attention import pallas_supported
+
+        return self._pallas_wanted() and pallas_supported(
+            shape, self.window, self.shift
+        )
+
+    def _droppath_keep(self, batch: int, deterministic: bool) -> jnp.ndarray:
+        """Per-sample keep/(1-rate) factor, same draws as drop_path."""
+        if deterministic or self.drop_path_rate == 0.0:
+            return jnp.ones((batch,), jnp.float32)
+        rng = self.make_rng("droppath")
+        keep = jax.random.bernoulli(
+            rng, 1.0 - self.drop_path_rate, (batch, 1, 1, 1, 1)
+        )
+        return keep.reshape(batch).astype(jnp.float32) / (
+            1.0 - self.drop_path_rate
+        )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -68,6 +146,7 @@ class SwinBlock3D(nn.Module):
             * (2 * self.window[1] - 1)
             * (2 * self.window[2] - 1)
         )
+        hidden = int(self.dim * self.mlp_ratio)
         qkv_kernel = self.param(
             "qkv_kernel",
             nn.initializers.truncated_normal(0.02),
@@ -85,9 +164,32 @@ class SwinBlock3D(nn.Module):
             nn.initializers.truncated_normal(0.02),
             (table_size, self.num_heads),
         )
+        ln1_scale, ln1_bias = _LNParams(self.dim, name="norm1")()
+        ln2_scale, ln2_bias = _LNParams(self.dim, name="norm2")()
+        fc1_kernel, fc1_bias = _DenseParams(self.dim, hidden, name="mlp_fc1")()
+        fc2_kernel, fc2_bias = _DenseParams(hidden, self.dim, name="mlp_fc2")()
 
-        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm1")(x)
-        if self._use_pallas(x.shape):
+        if self._use_fused_block(x.shape):
+            from nerf_mae_tpu.ops.pallas_block import fused_swin_block
+
+            keep_attn = self._droppath_keep(x.shape[0], deterministic)
+            keep_mlp = self._droppath_keep(x.shape[0], deterministic)
+            return fused_swin_block(
+                x.astype(self.dtype),
+                ln1_scale, ln1_bias,
+                qkv_kernel, qkv_bias,
+                proj_kernel, proj_bias,
+                ln2_scale, ln2_bias,
+                fc1_kernel, fc1_bias,
+                fc2_kernel, fc2_bias,
+                bias_table,
+                keep_attn, keep_mlp,
+                tuple(self.window), tuple(self.shift), self.num_heads,
+                self.norm_eps,
+            ).astype(x.dtype)
+
+        h = layer_norm(x, ln1_scale, ln1_bias, self.norm_eps)
+        if self._use_pallas_attn(x.shape):
             from nerf_mae_tpu.ops.pallas_attention import fused_window_attention
 
             h = fused_window_attention(
@@ -120,22 +222,10 @@ class SwinBlock3D(nn.Module):
             h.astype(x.dtype), self.drop_path_rate, deterministic, rng
         )
 
-        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm2")(x)
-        h = nn.Dense(
-            int(self.dim * self.mlp_ratio),
-            dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.normal(1e-6),
-            name="mlp_fc1",
-        )(h.astype(self.dtype))
+        h = layer_norm(x, ln2_scale, ln2_bias, self.norm_eps)
+        h = _dense(h, fc1_kernel, fc1_bias, self.dtype)
         h = nn.gelu(h)
-        h = nn.Dense(
-            self.dim,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.normal(1e-6),
-            name="mlp_fc2",
-        )(h)
+        h = _dense(h, fc2_kernel, fc2_bias, self.dtype)
         rng = None
         if not deterministic and self.drop_path_rate > 0.0:
             rng = self.make_rng("droppath")
@@ -193,6 +283,11 @@ class SwinEncoder3D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
     remat_policy: str = "nothing"
+    # Per-stage remat override: remat trades FLOPs for HBM, but late stages
+    # have tiny activations (10^3/5^3 token grids) — rematerializing them
+    # buys almost no memory while paying a full forward recompute. None =
+    # `remat` for every stage.
+    remat_stages: Optional[Sequence[bool]] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
@@ -200,15 +295,17 @@ class SwinEncoder3D(nn.Module):
         total_blocks = sum(cfg.depths)
         block_id = 0
         features = []
-        block_cls = SwinBlock3D
-        if self.remat:
-            policy = (
-                jax.checkpoint_policies.dots_saveable
-                if self.remat_policy == "dots" else None
-            )
-            block_cls = nn.remat(SwinBlock3D, static_argnums=(2,),
-                                 policy=policy)
+        policy = (
+            jax.checkpoint_policies.dots_saveable
+            if self.remat_policy == "dots" else None
+        )
+        remat_block_cls = nn.remat(SwinBlock3D, static_argnums=(2,),
+                                   policy=policy)
+        remat_stages = self.remat_stages
+        if remat_stages is None:
+            remat_stages = tuple(self.remat for _ in cfg.depths)
         for i_stage, depth in enumerate(cfg.depths):
+            block_cls = remat_block_cls if remat_stages[i_stage] else SwinBlock3D
             dim = cfg.stage_dims[i_stage]
             if i_stage > 0:
                 x = PatchMerging3D(

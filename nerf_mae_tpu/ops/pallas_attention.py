@@ -14,10 +14,17 @@ WP windows, and the per-window token count N=64 lands on the sublane dim.
 Grouping WP windows also feeds the MXU [WP*64, C] x [C, 3C] matmuls
 instead of thin 64-row ones.
 
-Scope: forward only. The backward pass reuses the pure-JAX implementation's
-VJP via jax.custom_vjp — with remat enabled the jnp forward is recomputed
-during backward anyway, so training loses nothing while the forward (and
-all of inference/eval) takes the fused path.
+Bias layout: the relative-position bias enters as one constant-index
+[heads, N, N] block (resident in VMEM across the whole grid) and the
+shift mask — when the block is shifted at all — as a per-group [WP, N, N]
+block broadcast over heads. Pre-adding them into a [nW, heads, N, N]
+tensor (as the XLA path conceptually does) would re-DMA heads*WP times
+more bias bytes per program than tokens.
+
+Scope: fused forward AND backward kernels. The backward
+(_fused_window_attn_bwd_kernel) recomputes the forward in VMEM and
+accumulates weight/bias/logit grads across the sequential TPU grid;
+fused_window_attention wires both up via jax.custom_vjp.
 """
 
 from __future__ import annotations
@@ -55,15 +62,17 @@ def _fused_window_attn_kernel(
     qkv_b_ref,  # [1, 3C]
     proj_w_ref,  # [C, C]
     proj_b_ref,  # [1, C]
-    bias_ref,  # [WP, heads, N, N]
-    out_ref,  # [WP, N, C]
-    *,
+    rel_bias_ref,  # [heads, N, N] constant-index (VMEM-resident)
+    *rest,  # optional shift_mask_ref [WP, N, N], then out_ref [WP, N, C]
     num_heads: int,
+    has_shift: bool,
 ):
     """Mosaic-friendly structure: the only reshape merges leading dims; the
     per-head/per-window attention uses static lane slices + 2D matmuls
     (Mosaic rejects reshapes that split the minor dim and >1 matmul batch
     dim)."""
+    shift_mask_ref = rest[0] if has_shift else None
+    out_ref = rest[-1]
     wp, n, c = x_ref.shape
     hd = c // num_heads
     scale = hd ** -0.5
@@ -86,7 +95,9 @@ def _fused_window_attn_kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [N, N]
-            logits = logits + bias_ref[w, h]
+            logits = logits + rel_bias_ref[h]
+            if has_shift:
+                logits = logits + shift_mask_ref[w]
             p = jax.nn.softmax(logits, axis=-1)
             head_outs.append(
                 jnp.dot(p, v, preferred_element_type=jnp.float32)
@@ -102,16 +113,16 @@ def _fused_window_attn_kernel(
     out_ref[...] = y.astype(out_ref.dtype).reshape(wp, n, c)
 
 
-@functools.lru_cache(maxsize=64)
-def _shift_mask_np(window: Tuple[int, int, int], grid: Tuple[int, int, int],
-                   shift: Tuple[int, int, int]) -> np.ndarray:
-    """[nW, 1, N, N] additive shift-mask component (zeros when unshifted)."""
-    mask = shifted_window_mask(grid, window, shift)
-    n = window[0] * window[1] * window[2]
-    nw = (grid[0] // window[0]) * (grid[1] // window[1]) * (grid[2] // window[2])
-    if mask is None:
-        return np.zeros((nw, 1, n, n), np.float32)
-    return mask[:, None, :, :].astype(np.float32)
+def _rel_bias_and_shift_mask(bias_table, window, grid_shape, shift):
+    """Returns (rel_bias [heads, N, N] f32, shift_mask [nW, N, N] f32 or
+    None). Kept separate so the kernel can hold the rel-bias resident and
+    DMA only the small per-window mask (nothing materializes the
+    [nW, heads, N, N] sum)."""
+    rel_idx = jnp.asarray(relative_position_index_3d(tuple(window)))
+    rel_bias = bias_table[rel_idx].transpose(2, 0, 1).astype(jnp.float32)
+    mask = shifted_window_mask(tuple(grid_shape), tuple(window), tuple(shift))
+    shift_m = None if mask is None else jnp.asarray(mask.astype(np.float32))
+    return rel_bias, shift_m
 
 
 def _pallas_window_attention_fwd(
@@ -133,47 +144,53 @@ def _pallas_window_attention_fwd(
     n_windows = xw.shape[1]
     xw = xw.reshape(b * n_windows, n, c)
 
-    rel_idx = jnp.asarray(relative_position_index_3d(tuple(window)))
-    rel_bias = bias_table[rel_idx].transpose(2, 0, 1).astype(jnp.float32)
-    shift_m = jnp.asarray(
-        _shift_mask_np(tuple(window), x.shape[1:4], tuple(shift))
+    rel_bias, shift_m = _rel_bias_and_shift_mask(
+        bias_table, window, x.shape[1:4], shift
     )
-    bias = rel_bias[None] + shift_m  # [nW, h, N, N]
+    has_shift = shift_m is not None
 
     wp = _pick_group(n_windows, num_heads)
     grid = (b * n_windows // wp,)
 
-    kernel = functools.partial(_fused_window_attn_kernel, num_heads=num_heads)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (wp, num_heads, n, n),
-                lambda i, _nw=n_windows // wp: (i % _nw, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(xw.shape, x.dtype),
-        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
-    )(
+    kernel = functools.partial(
+        _fused_window_attn_kernel, num_heads=num_heads, has_shift=has_shift
+    )
+    in_specs = [
+        pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [
         xw,
         qkv_kernel.astype(x.dtype),
         qkv_bias.astype(jnp.float32).reshape(1, -1),
         proj_kernel.astype(x.dtype),
         proj_bias.astype(jnp.float32).reshape(1, -1),
-        bias,
-    )
+        rel_bias,
+    ]
+    if has_shift:
+        in_specs.append(pl.BlockSpec(
+            (wp, n, n),
+            lambda i, _nw=n_windows // wp: (i % _nw, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(shift_m)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xw.shape, x.dtype),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+    )(*operands)
     out = out.reshape(b, n_windows, n, c)
     return window_unpartition_3d(out, window, counts)
 
@@ -226,20 +243,20 @@ def _fused_window_attn_bwd_kernel(
     qkv_w_ref,  # [C, 3C]
     qkv_b_ref,  # [1, 3C]
     proj_w_ref,  # [C, C]
-    bias_ref,  # [WP, heads, N, N]
-    dy_ref,  # [WP, N, C]
-    dx_ref,  # [WP, N, C] out
-    dqkv_w_ref,  # [C, 3C] out, accumulated over the grid
-    dqkv_b_ref,  # [1, 3C] out, accumulated
-    dproj_w_ref,  # [C, C] out, accumulated
-    dproj_b_ref,  # [1, C] out, accumulated
-    dlogit_ref,  # [heads, N, N] out, accumulated (bias-table grad precursor)
-    *,
+    rel_bias_ref,  # [heads, N, N] constant-index (VMEM-resident)
+    *rest,  # optional shift_mask_ref [WP, N, N]; dy_ref; then the out refs:
+    # dx [WP, N, C]; accumulated dqkv_w [C, 3C], dqkv_b [1, 3C],
+    # dproj_w [C, C], dproj_b [1, C], dlogit [heads, N, N]
     num_heads: int,
+    has_shift: bool,
 ):
     """Backward of the fused window MSA: recomputes the forward in VMEM,
     then chains the VJP by hand. Weight/bias/logit grads accumulate across
     the (sequential) TPU grid into constant-index output blocks."""
+    shift_mask_ref = rest[0] if has_shift else None
+    dy_ref = rest[1] if has_shift else rest[0]
+    (dx_ref, dqkv_w_ref, dqkv_b_ref, dproj_w_ref, dproj_b_ref,
+     dlogit_ref) = rest[-6:]
     wp, n, c = x_ref.shape
     hd = c // num_heads
     scale = hd ** -0.5
@@ -280,7 +297,9 @@ def _fused_window_attn_bwd_kernel(
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bias_ref[w, h]
+            ) + rel_bias_ref[h]
+            if has_shift:
+                logits = logits + shift_mask_ref[w]
             p = jax.nn.softmax(logits, axis=-1)  # [N, N]
             head_o.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
 
@@ -340,36 +359,46 @@ def _pallas_window_attention_bwd(
     dyw, _ = window_partition_3d(dy, window)
     dyw = dyw.reshape(b * n_windows, n, c)
 
-    rel_idx = jnp.asarray(relative_position_index_3d(tuple(window)))
-    rel_bias = bias_table[rel_idx].transpose(2, 0, 1).astype(jnp.float32)
-    shift_m = jnp.asarray(
-        _shift_mask_np(tuple(window), x.shape[1:4], tuple(shift))
+    rel_bias, shift_m = _rel_bias_and_shift_mask(
+        bias_table, window, x.shape[1:4], shift
     )
-    bias = rel_bias[None] + shift_m
+    has_shift = shift_m is not None
 
     wp = _pick_group(n_windows, num_heads)
     grid = (b * n_windows // wp,)
     kernel = functools.partial(_fused_window_attn_bwd_kernel,
-                               num_heads=num_heads)
+                               num_heads=num_heads, has_shift=has_shift)
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const(c, 3 * c),
+        const(1, 3 * c),
+        const(c, c),
+        const(num_heads, n, n),
+    ]
+    operands = [
+        xw,
+        qkv_kernel.astype(x.dtype),
+        qkv_bias.astype(jnp.float32).reshape(1, -1),
+        proj_kernel.astype(x.dtype),
+        rel_bias,
+    ]
+    if has_shift:
+        in_specs.append(pl.BlockSpec(
+            (wp, n, n),
+            lambda i, _nw=n_windows // wp: (i % _nw, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(shift_m)
+    in_specs.append(pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(dyw)
     dx, dw_qkv, db_qkv, dw_p, db_p, dlogit = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            const(c, 3 * c),
-            const(1, 3 * c),
-            const(c, c),
-            pl.BlockSpec(
-                (wp, num_heads, n, n),
-                lambda i, _nw=n_windows // wp: (i % _nw, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -388,16 +417,10 @@ def _pallas_window_attention_bwd(
             jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(
-        xw,
-        qkv_kernel.astype(x.dtype),
-        qkv_bias.astype(jnp.float32).reshape(1, -1),
-        proj_kernel.astype(x.dtype),
-        bias,
-        dyw,
-    )
+    )(*operands)
     dx = window_unpartition_3d(dx.reshape(b, n_windows, n, c), window, counts)
     # bias-table grad: scatter the accumulated per-position logit grads
+    rel_idx = relative_position_index_3d(tuple(window))
     dtable = jnp.zeros_like(bias_table)
     dtable = dtable.at[rel_idx.reshape(-1)].add(
         dlogit.transpose(1, 2, 0).reshape(-1, num_heads)

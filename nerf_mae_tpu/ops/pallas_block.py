@@ -1,0 +1,639 @@
+"""Whole Swin block as one fused Pallas TPU kernel (fwd AND bwd).
+
+One Swin block is LN -> shifted-window MSA -> droppath residual -> LN ->
+MLP -> droppath residual (reference: nerf_mae/model/mae/swin_mae3d.py:310-369).
+At the early stages the token tensors are large ([B, 40^3, C] at 160^3 input)
+and every one of those sub-ops is an HBM round trip — the encoder measures
+at 5-10% MXU utilization because it is bound by those passes, not FLOPs.
+This kernel reads the residual stream once, keeps LN statistics, qkv,
+attention, and both MLP matmuls in VMEM, and writes the residual stream
+once: ~2 HBM passes per block instead of ~10.
+
+The backward kernel recomputes the forward in VMEM (the train step already
+runs full-recompute remat, so this loses nothing) and accumulates all
+parameter gradients across the sequential TPU grid into constant-index
+output blocks, exactly like ops/pallas_attention.py's backward.
+
+Scope / fallbacks:
+  * channel count C <= 256: the f32 weight-gradient accumulators for
+    qkv/proj/fc1/fc2 must stay resident in VMEM; at C=512 they alone are
+    ~12 MB. Larger stages use the attention-only fused kernel.
+  * grid divisible by the window in all three dims: the XLA path applies
+    LN *before* zero-padding to window multiples, so padded tokens attend
+    as exact zeros; fusing LN inside would feed them LN(0)=bias instead.
+    Non-divisible grids (10^3/5^3 stages) take the attention-only path.
+
+Droppath (stochastic depth) enters as two per-sample keep factors
+(already scaled by 1/(1-rate)) broadcast per window and read from SMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_mae_tpu.ops.pallas_attention import _rel_bias_and_shift_mask
+from nerf_mae_tpu.ops.window_attention import (
+    relative_position_index_3d,
+    window_partition_3d,
+    window_unpartition_3d,
+)
+
+_SQRT_2_OVER_PI = np.float32(np.sqrt(2.0 / np.pi))
+_GELU_C = np.float32(0.044715)
+
+
+def _gelu_tanh(x):
+    """tanh-approximated gelu, matching jax.nn.gelu(approximate=True)."""
+    u = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(u))
+
+
+def _gelu_tanh_grad(x):
+    """d/dx of _gelu_tanh at f32 precision."""
+    u = _SQRT_2_OVER_PI * (x + _GELU_C * x * x * x)
+    t = jnp.tanh(u)
+    du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * x * x)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+
+
+def _ln_fwd(xf, scale, bias, eps):
+    """f32 LayerNorm matching flax (fast variance). Returns (y, xhat, inv)."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd_input(dy, xhat, inv, scale):
+    """Input grad of LayerNorm given upstream dy (all f32)."""
+    dxhat = dy * scale
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return inv * (dxhat - m1 - xhat * m2)
+
+
+def _bwd_vmem_estimate(wp: int, n: int, c: int, hidden: int,
+                       num_heads: int) -> int:
+    """Rough scoped-VMEM bytes for the backward kernel at group size wp:
+    double-buffered bf16 weights + resident f32 grad accumulators +
+    per-program f32 intermediates (qkv/dqkv [WP*N, 3C], ~4 [WP*N, F]
+    buffers) + triple x/dy/dx blocks. Calibrated on v5e: wp=5 @ C=256
+    (~16.5 MB) fails, wp=8 @ C=128 (~10 MB) and wp=1 @ C=256 (~8 MB) pass."""
+    weights = 2 * 2 * (4 * c * c + 2 * c * hidden)  # bf16, double-buffered
+    accums = 4 * (4 * c * c + 2 * c * hidden) + 4 * num_heads * n * n
+    inter = wp * n * (4 * hidden * 4 + 2 * 3 * c * 4)
+    blocks = 3 * 2 * wp * n * c * 2
+    return weights + accums + inter + blocks
+
+
+def _pick_group_block(n_windows: int, num_heads: int, n: int, c: int,
+                      hidden: int) -> int:
+    """Windows per program: big-enough MXU matmuls, bounded VMEM (the
+    backward kernel is the binding constraint — see _bwd_vmem_estimate)."""
+    for wp in (8, 5, 4, 3, 2):
+        if (n_windows % wp == 0 and wp * num_heads <= 64
+                and _bwd_vmem_estimate(wp, n, c, hidden, num_heads)
+                <= (12 << 20)):
+            return wp
+    return 1
+
+
+def fused_block_supported(shape, window, num_heads, mlp_ratio) -> bool:
+    """True when the full-block kernel handles this stage (see module doc)."""
+    b, g0, g1, g2, c = shape
+    n = window[0] * window[1] * window[2]
+    divisible = all((g0, g1, g2)[i] % window[i] == 0 for i in range(3))
+    return divisible and n % 8 == 0 and c % 8 == 0 and c <= 256
+
+
+def _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c, num_heads,
+               has_shift):
+    """Per-window attention: returns (o [N, C] f32, list of per-head
+    (p, q, k, v) residuals for the backward; residuals=None in fwd-only
+    callers pass keep=False)."""
+    hd = c // num_heads
+    scale = hd ** -0.5
+    rows = slice(w * n, (w + 1) * n)
+    head_outs = []
+    saved = []
+    for h in range(num_heads):
+        q = qkv[rows, h * hd:(h + 1) * hd] * scale
+        k = qkv[rows, c + h * hd: c + (h + 1) * hd]
+        v = qkv[rows, 2 * c + h * hd: 2 * c + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + rel_bias_ref[h]
+        if has_shift:
+            logits = logits + shift_mask_ref[w]
+        p = jax.nn.softmax(logits, axis=-1)
+        head_outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
+        saved.append((p, q, k, v))
+    return jnp.concatenate(head_outs, axis=-1), saved
+
+
+def _fused_block_kernel(
+    keep_sref,  # [B, 2] f32 scalar-prefetch (SMEM): per-sample droppath
+    x_ref,  # [WP, N, C] residual-stream tokens (compute dtype)
+    ln1_s_ref, ln1_b_ref,  # [1, C] f32
+    qkv_w_ref,  # [C, 3C] compute dtype
+    qkv_b_ref,  # [1, 3C] f32
+    proj_w_ref,  # [C, C]
+    proj_b_ref,  # [1, C] f32
+    ln2_s_ref, ln2_b_ref,  # [1, C] f32
+    fc1_w_ref,  # [C, F]
+    fc1_b_ref,  # [1, F] f32
+    fc2_w_ref,  # [F, C]
+    fc2_b_ref,  # [1, C] f32
+    rel_bias_ref,  # [heads, N, N] f32, constant-index (VMEM-resident)
+    *rest,  # optional shift_mask_ref [WP, N, N]; then out_ref [WP, N, C]
+    num_heads: int,
+    has_shift: bool,
+    eps: float,
+    n_windows: int,
+):
+    shift_mask_ref = rest[0] if has_shift else None
+    out_ref = rest[-1]
+    wp, n, c = x_ref.shape
+    d = x_ref.dtype
+    base = pl.program_id(0) * wp  # first window row of this program
+
+    x = x_ref[...].reshape(wp * n, c)  # residual stream, dtype d
+    xf = x.astype(jnp.float32)
+    h1, _, _ = _ln_fwd(xf, ln1_s_ref[...], ln1_b_ref[...], eps)
+    h1 = h1.astype(d)
+
+    qkv = (
+        jnp.dot(h1, qkv_w_ref[...], preferred_element_type=jnp.float32)
+        + qkv_b_ref[...]
+    )  # [WP*N, 3C] f32
+
+    o_rows = []
+    for w in range(wp):
+        o, _ = _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c,
+                          num_heads, has_shift)
+        o_rows.append(o)
+    o = jnp.concatenate(o_rows, axis=0)  # [WP*N, C] f32
+
+    y = (
+        jnp.dot(o.astype(d), proj_w_ref[...],
+                preferred_element_type=jnp.float32)
+        + proj_b_ref[...]
+    ).astype(d)
+
+    # droppath residual #1 (per-window scalar keep from SMEM)
+    x1_rows = []
+    for w in range(wp):
+        rows = slice(w * n, (w + 1) * n)
+        ka = keep_sref[(base + w) // n_windows, 0].astype(d)
+        x1_rows.append(x[rows] + y[rows] * ka)
+    x1 = jnp.concatenate(x1_rows, axis=0)  # dtype d
+
+    x1f = x1.astype(jnp.float32)
+    h2, _, _ = _ln_fwd(x1f, ln2_s_ref[...], ln2_b_ref[...], eps)
+    h2 = h2.astype(d)
+
+    f1 = (
+        jnp.dot(h2, fc1_w_ref[...], preferred_element_type=jnp.float32)
+    ).astype(d) + fc1_b_ref[...].astype(d)
+    g = _gelu_tanh(f1.astype(jnp.float32)).astype(d)
+    f2 = (
+        jnp.dot(g, fc2_w_ref[...], preferred_element_type=jnp.float32)
+    ).astype(d) + fc2_b_ref[...].astype(d)
+
+    out_rows = []
+    for w in range(wp):
+        rows = slice(w * n, (w + 1) * n)
+        km = keep_sref[(base + w) // n_windows, 1].astype(d)
+        out_rows.append(x1[rows] + f2[rows] * km)
+    out = jnp.concatenate(out_rows, axis=0)
+    out_ref[...] = out.reshape(wp, n, c)
+
+
+def _fused_block_bwd_kernel(
+    keep_sref,  # [B, 2] f32 scalar-prefetch (SMEM): per-sample droppath
+    x_ref,  # [WP, N, C]
+    ln1_s_ref, ln1_b_ref,
+    qkv_w_ref, qkv_b_ref,
+    proj_w_ref, proj_b_ref,
+    ln2_s_ref, ln2_b_ref,
+    fc1_w_ref, fc1_b_ref,
+    fc2_w_ref, fc2_b_ref,
+    rel_bias_ref,
+    *rest,
+    # rest = optional shift_mask_ref; dy_ref [WP, N, C]; then out refs:
+    # dx [WP,N,C]; accumulated dln1_s [1,C], dln1_b [1,C], dqkv_w [C,3C],
+    # dqkv_b [1,3C], dproj_w [C,C], dproj_b [1,C], dln2_s, dln2_b,
+    # dfc1_w [C,F], dfc1_b [1,F], dfc2_w [F,C], dfc2_b [1,C],
+    # dlogit [heads,N,N]
+    num_heads: int,
+    has_shift: bool,
+    eps: float,
+    n_windows: int,
+):
+    shift_mask_ref = rest[0] if has_shift else None
+    dy_ref = rest[1] if has_shift else rest[0]
+    (dx_ref, dln1_s_ref, dln1_b_ref, dqkv_w_ref, dqkv_b_ref, dproj_w_ref,
+     dproj_b_ref, dln2_s_ref, dln2_b_ref, dfc1_w_ref, dfc1_b_ref,
+     dfc2_w_ref, dfc2_b_ref, dlogit_ref) = rest[-14:]
+
+    wp, n, c = x_ref.shape
+    d = x_ref.dtype
+    base = pl.program_id(0) * wp
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dln1_s_ref, dln1_b_ref, dqkv_w_ref, dqkv_b_ref,
+                    dproj_w_ref, dproj_b_ref, dln2_s_ref, dln2_b_ref,
+                    dfc1_w_ref, dfc1_b_ref, dfc2_w_ref, dfc2_b_ref,
+                    dlogit_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    # ---- recompute forward ----
+    x = x_ref[...].reshape(wp * n, c)
+    xf = x.astype(jnp.float32)
+    h1f, xhat1, inv1 = _ln_fwd(xf, ln1_s_ref[...], ln1_b_ref[...], eps)
+    h1 = h1f.astype(d)
+    qkv = (
+        jnp.dot(h1, qkv_w_ref[...], preferred_element_type=jnp.float32)
+        + qkv_b_ref[...]
+    )
+    o_rows, attn_saved = [], []
+    for w in range(wp):
+        o, saved = _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c,
+                              num_heads, has_shift)
+        o_rows.append(o)
+        attn_saved.append(saved)
+    o = jnp.concatenate(o_rows, axis=0)
+    y = (
+        jnp.dot(o.astype(d), proj_w_ref[...],
+                preferred_element_type=jnp.float32)
+        + proj_b_ref[...]
+    ).astype(d)
+    x1_rows = []
+    for w in range(wp):
+        rows = slice(w * n, (w + 1) * n)
+        x1_rows.append(x[rows] + y[rows] * keep_sref[(base + w) // n_windows, 0].astype(d))
+    x1 = jnp.concatenate(x1_rows, axis=0)
+    x1f = x1.astype(jnp.float32)
+    h2f, xhat2, inv2 = _ln_fwd(x1f, ln2_s_ref[...], ln2_b_ref[...], eps)
+    h2 = h2f.astype(d)
+    f1 = (
+        jnp.dot(h2, fc1_w_ref[...], preferred_element_type=jnp.float32)
+    ).astype(d) + fc1_b_ref[...].astype(d)
+    f1f = f1.astype(jnp.float32)
+    g = _gelu_tanh(f1f).astype(d)
+
+    # ---- backward ----
+    dout = dy_ref[...].reshape(wp * n, c).astype(jnp.float32)
+
+    # MLP branch: out = x1 + f2 * km
+    df2_rows = []
+    for w in range(wp):
+        rows = slice(w * n, (w + 1) * n)
+        df2_rows.append(dout[rows] * keep_sref[(base + w) // n_windows, 1])
+    df2 = jnp.concatenate(df2_rows, axis=0)  # f32
+
+    dfc2_b_ref[...] += jnp.sum(df2, axis=0, keepdims=True)
+    dg = jax.lax.dot_general(
+        df2.astype(d), fc2_w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [WP*N, F]
+    dfc2_w_ref[...] += jax.lax.dot_general(
+        g, df2.astype(d), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    df1 = dg * _gelu_tanh_grad(f1f)
+    dfc1_b_ref[...] += jnp.sum(df1, axis=0, keepdims=True)
+    dh2 = jax.lax.dot_general(
+        df1.astype(d), fc1_w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dfc1_w_ref[...] += jax.lax.dot_general(
+        h2, df1.astype(d), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dln2_s_ref[...] += jnp.sum(dh2 * xhat2, axis=0, keepdims=True)
+    dln2_b_ref[...] += jnp.sum(dh2, axis=0, keepdims=True)
+    dx1 = dout + _ln_bwd_input(dh2, xhat2, inv2, ln2_s_ref[...])
+
+    # attention branch: x1 = x + y * ka
+    dy_attn_rows = []
+    for w in range(wp):
+        rows = slice(w * n, (w + 1) * n)
+        dy_attn_rows.append(dx1[rows] * keep_sref[(base + w) // n_windows, 0])
+    dy_attn = jnp.concatenate(dy_attn_rows, axis=0)  # f32, grad of y
+
+    dproj_b_ref[...] += jnp.sum(dy_attn, axis=0, keepdims=True)
+    do = jax.lax.dot_general(
+        dy_attn.astype(d), proj_w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dproj_w_ref[...] += jax.lax.dot_general(
+        o.astype(d), dy_attn.astype(d), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    hd = c // num_heads
+    scale = hd ** -0.5
+    dqkv_rows = []
+    for w in range(wp):
+        rows = slice(w * n, (w + 1) * n)
+        dqs, dks, dvs = [], [], []
+        for h in range(num_heads):
+            p, q, k, v = attn_saved[w][h]
+            do_h = do[rows, h * hd:(h + 1) * hd]
+            dp = jax.lax.dot_general(
+                do_h, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dvs.append(jax.lax.dot_general(
+                p, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dlogit_ref[h] += dl
+            dqs.append(
+                jnp.dot(dl, k, preferred_element_type=jnp.float32) * scale
+            )
+            # q already carries the fwd scale, so this is d(k) exactly
+            dks.append(jax.lax.dot_general(
+                dl, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        dqkv_rows.append(jnp.concatenate(dqs + dks + dvs, axis=-1))
+    dqkv = jnp.concatenate(dqkv_rows, axis=0)  # [WP*N, 3C] f32
+
+    dqkv_b_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dqkv_w_ref[...] += jax.lax.dot_general(
+        h1, dqkv.astype(d), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh1 = jax.lax.dot_general(
+        dqkv.astype(d), qkv_w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dln1_s_ref[...] += jnp.sum(dh1 * xhat1, axis=0, keepdims=True)
+    dln1_b_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+    dx = dx1 + _ln_bwd_input(dh1, xhat1, inv1, ln1_s_ref[...])
+    dx_ref[...] = dx.astype(d).reshape(wp, n, c)
+
+
+def _prep(x, keep_attn, keep_mlp, bias_table, window, shift):
+    """Shared fwd/bwd staging: roll, partition, keep/bias/mask tensors."""
+    b, g0, g1, g2, c = x.shape
+    shift = tuple(0 if window[i] >= (g0, g1, g2)[i] else shift[i]
+                  for i in range(3))
+    h = x
+    if sum(shift) > 0:
+        h = jnp.roll(h, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+    xw, counts = window_partition_3d(h, window)  # [B, nW, N, C]
+    n_windows = xw.shape[1]
+    n = window[0] * window[1] * window[2]
+    xw = xw.reshape(b * n_windows, n, c)
+    # per-SAMPLE keep factors: [B, 2]. Kept sample-indexed (not
+    # per-window) because the scalar-prefetch array lives in SMEM, which is
+    # tiny — a per-window copy overflows it at 40^3 grids (1000 windows).
+    keep2 = jnp.stack(
+        [keep_attn.astype(jnp.float32), keep_mlp.astype(jnp.float32)],
+        axis=-1,
+    )
+    rel_bias, shift_m = _rel_bias_and_shift_mask(
+        bias_table, window, (g0, g1, g2), shift
+    )
+    return xw, counts, n_windows, n, keep2, rel_bias, shift_m, shift
+
+
+def _block_specs(wp, n, c, f, num_heads, n_windows):
+    """The 14 input BlockSpecs shared (in order) by fwd and bwd. Index maps
+    take *_ because scalar-prefetch grid specs pass the SMEM refs along."""
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return [
+        pl.BlockSpec((wp, n, c), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),  # x
+        const(1, c), const(1, c),  # ln1
+        const(c, 3 * c), const(1, 3 * c),  # qkv
+        const(c, c), const(1, c),  # proj
+        const(1, c), const(1, c),  # ln2
+        const(c, f), const(1, f),  # fc1
+        const(f, c), const(1, c),  # fc2
+        const(num_heads, n, n),  # rel_bias
+    ]
+
+
+def _operands(xw, ln1_s, ln1_b, qkv_w, qkv_b, proj_w, proj_b, ln2_s, ln2_b,
+              fc1_w, fc1_b, fc2_w, fc2_b, rel_bias, d):
+    f32 = jnp.float32
+    row = lambda t: t.astype(f32).reshape(1, -1)
+    return [
+        xw,
+        row(ln1_s), row(ln1_b),
+        qkv_w.astype(d), row(qkv_b),
+        proj_w.astype(d), row(proj_b),
+        row(ln2_s), row(ln2_b),
+        fc1_w.astype(d), row(fc1_b),
+        fc2_w.astype(d), row(fc2_b),
+        rel_bias,
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19))
+def fused_swin_block(
+    x,  # [B, G0, G1, G2, C], grid divisible by window
+    ln1_scale, ln1_bias,
+    qkv_kernel, qkv_bias,
+    proj_kernel, proj_bias,
+    ln2_scale, ln2_bias,
+    fc1_kernel, fc1_bias,
+    fc2_kernel, fc2_bias,
+    bias_table,
+    keep_attn,  # [B] f32, droppath keep/(1-rate) for the attention branch
+    keep_mlp,  # [B] f32, same for the MLP branch
+    window: Tuple[int, int, int],
+    shift: Tuple[int, int, int],
+    num_heads: int,
+    eps: float,
+):
+    """One whole Swin block, fused. Same math as the SwinBlock3D XLA
+    composition (LN in f32, matmuls in x.dtype with f32 accumulation)."""
+    b, g0, g1, g2, c = x.shape
+    d = x.dtype
+    f = fc1_kernel.shape[-1]
+    (xw, counts, n_windows, n, keep2, rel_bias, shift_m,
+     eff_shift) = _prep(x, keep_attn, keep_mlp, bias_table, window, shift)
+    has_shift = shift_m is not None
+
+    wp = _pick_group_block(n_windows, num_heads, n, c, f)
+    grid = (b * n_windows // wp,)
+    kernel = functools.partial(
+        _fused_block_kernel, num_heads=num_heads, has_shift=has_shift,
+        eps=eps, n_windows=n_windows,
+    )
+    in_specs = _block_specs(wp, n, c, f, num_heads, n_windows)
+    operands = _operands(xw, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
+                         proj_kernel, proj_bias, ln2_scale, ln2_bias,
+                         fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+                         rel_bias, d)
+    if has_shift:
+        in_specs.append(pl.BlockSpec(
+            (wp, n, n),
+            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(shift_m)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((wp, n, c), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(xw.shape, d),
+        interpret=jax.default_backend() != "tpu",
+    )(keep2, *operands)
+    out = window_unpartition_3d(
+        out.reshape(b, n_windows, n, c), window, counts
+    )
+    if sum(eff_shift) > 0:
+        out = jnp.roll(out, eff_shift, axis=(1, 2, 3))
+    return out
+
+
+def _fwd(x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel,
+         proj_bias, ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel,
+         fc2_bias, bias_table, keep_attn, keep_mlp, window, shift,
+         num_heads, eps):
+    out = fused_swin_block(
+        x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel,
+        proj_bias, ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel,
+        fc2_bias, bias_table, keep_attn, keep_mlp, window, shift,
+        num_heads, eps,
+    )
+    return out, (x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel,
+                 proj_bias, ln2_scale, ln2_bias, fc1_kernel, fc1_bias,
+                 fc2_kernel, fc2_bias, bias_table, keep_attn, keep_mlp)
+
+
+def _bwd(window, shift, num_heads, eps, residuals, g):
+    (x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+     ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+     bias_table, keep_attn, keep_mlp) = residuals
+    b, g0, g1, g2, c = x.shape
+    d = x.dtype
+    f = fc1_kernel.shape[-1]
+    (xw, counts, n_windows, n, keep2, rel_bias, shift_m,
+     eff_shift) = _prep(x, keep_attn, keep_mlp, bias_table, window, shift)
+    has_shift = shift_m is not None
+
+    gy = g
+    if sum(eff_shift) > 0:
+        gy = jnp.roll(
+            gy, (-eff_shift[0], -eff_shift[1], -eff_shift[2]), axis=(1, 2, 3)
+        )
+    dyw, _ = window_partition_3d(gy, window)
+    dyw = dyw.reshape(b * n_windows, n, c)
+
+    wp = _pick_group_block(n_windows, num_heads, n, c, f)
+    grid = (b * n_windows // wp,)
+    kernel = functools.partial(
+        _fused_block_bwd_kernel, num_heads=num_heads, has_shift=has_shift,
+        eps=eps, n_windows=n_windows,
+    )
+    in_specs = _block_specs(wp, n, c, f, num_heads, n_windows)
+    operands = _operands(xw, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
+                         proj_kernel, proj_bias, ln2_scale, ln2_bias,
+                         fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+                         rel_bias, d)
+    if has_shift:
+        in_specs.append(pl.BlockSpec(
+            (wp, n, n),
+            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(shift_m)
+    in_specs.append(pl.BlockSpec((wp, n, c), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(dyw)
+
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((wp, n, c), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const(1, c), const(1, c),
+                const(c, 3 * c), const(1, 3 * c),
+                const(c, c), const(1, c),
+                const(1, c), const(1, c),
+                const(c, f), const(1, f),
+                const(f, c), const(1, c),
+                const(num_heads, n, n),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(xw.shape, d),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, 3 * c), f32),
+            jax.ShapeDtypeStruct((1, 3 * c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, f), f32),
+            jax.ShapeDtypeStruct((1, f), f32),
+            jax.ShapeDtypeStruct((f, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((num_heads, n, n), f32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(keep2, *operands)
+    (dxw, dln1_s, dln1_b, dqkv_w, dqkv_b, dproj_w, dproj_b, dln2_s, dln2_b,
+     dfc1_w, dfc1_b, dfc2_w, dfc2_b, dlogit) = outs
+
+    dx = window_unpartition_3d(
+        dxw.reshape(b, n_windows, n, c), window, counts
+    )
+    if sum(eff_shift) > 0:
+        dx = jnp.roll(dx, eff_shift, axis=(1, 2, 3))
+
+    rel_idx = relative_position_index_3d(tuple(window))
+    dtable = jnp.zeros_like(bias_table)
+    dtable = dtable.at[rel_idx.reshape(-1)].add(
+        dlogit.transpose(1, 2, 0).reshape(-1, num_heads)
+    )
+    vec = lambda t, ref: t.reshape(-1).astype(ref.dtype)
+    return (
+        dx.astype(x.dtype),
+        vec(dln1_s, ln1_scale), vec(dln1_b, ln1_bias),
+        dqkv_w.astype(qkv_kernel.dtype), vec(dqkv_b, qkv_bias),
+        dproj_w.astype(proj_kernel.dtype), vec(dproj_b, proj_bias),
+        vec(dln2_s, ln2_scale), vec(dln2_b, ln2_bias),
+        dfc1_w.astype(fc1_kernel.dtype), vec(dfc1_b, fc1_bias),
+        dfc2_w.astype(fc2_kernel.dtype), vec(dfc2_b, fc2_bias),
+        dtable.astype(bias_table.dtype),
+        jnp.zeros_like(keep_attn),
+        jnp.zeros_like(keep_mlp),
+    )
+
+
+fused_swin_block.defvjp(_fwd, _bwd)

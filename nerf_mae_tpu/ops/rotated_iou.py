@@ -19,9 +19,30 @@ Boxes are [..., 7] = (x, y, z, w, l, h, theta).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-8
+
+
+def _enclosing_candidate_tables():
+    """Static (24, 2) line and (24, 6) rest-point index tables for the
+    smallest enclosing box: every pair of the 8 corners except the 4 box
+    diagonals is a candidate hull edge
+    (reference: nerf_rpn/model/rotated_iou/min_enclosing_box.py:25-50)."""
+    skip = {(0, 2), (1, 3), (5, 7), (4, 6)}
+    lines, points = [], []
+    for i in range(8):
+        for j in range(i + 1, 8):
+            if (i, j) in skip:
+                continue
+            lines.append([i, j])
+            points.append([k for k in range(8) if k not in (i, j)])
+    return np.array(lines, np.int32), np.array(points, np.int32)
+
+
+_ENC_LINES, _ENC_POINTS = _enclosing_candidate_tables()
 
 
 def box2corners(box5: jnp.ndarray) -> jnp.ndarray:
@@ -156,14 +177,73 @@ def _enclosing_aabb_2d(c1: jnp.ndarray, c2: jnp.ndarray):
     return w, h
 
 
-def giou_3d_loss(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
-    """GIoU-style loss using the enclosing AABB of the 2D footprints x the
-    z-extent union (reference: oriented_iou_loss.py:109-127 cal_giou_3d,
-    with the axis-aligned enclosing-box option)."""
+def smallest_enclosing_box_2d(c1: jnp.ndarray, c2: jnp.ndarray):
+    """(width, length) of the minimum-area rotated rectangle enclosing the
+    8 corners of two boxes [..., 4, 2] each.
+
+    A minimum-area enclosing box has one side collinear with a hull edge, so
+    brute-force over the 24 candidate corner pairs (all pairs minus the 4
+    box diagonals), measuring the point spread perpendicular and parallel to
+    each candidate line and taking the min-area candidate — same algorithm
+    (including the degenerate-line guards) as the reference
+    (reference: nerf_rpn/model/rotated_iou/min_enclosing_box.py:83-193).
+    Differentiable: gradients flow through the selected candidate only.
+    """
+    corners = jnp.concatenate([c1, c2], axis=-2)  # [..., 8, 2]
+    lines = corners[..., _ENC_LINES, :]  # [..., 24, 2, 2]
+    points = corners[..., _ENC_POINTS, :]  # [..., 24, 6, 2]
+    x1, y1 = lines[..., 0:1, 0], lines[..., 0:1, 1]  # [..., 24, 1]
+    x2, y2 = lines[..., 1:2, 0], lines[..., 1:2, 1]
+
+    # spread perpendicular to the line: signed point-line distances
+    px, py = points[..., 0], points[..., 1]  # [..., 24, 6]
+    den = (y2 - y1) * px - (x2 - x1) * py + x2 * y1 - y2 * x1
+    num = jnp.sqrt((y2 - y1) ** 2 + (x2 - x1) ** 2 + 1e-14)
+    d = den / num
+    d1 = d.max(axis=-1) - d.min(axis=-1)  # points on both sides
+    d2 = jnp.abs(d).max(axis=-1)  # all points on one side
+    dist = jnp.maximum(d1, d2)  # [..., 24]
+
+    # spread parallel to the line: project all 8 points onto its direction
+    k = (y2 - y1) / (x2 - x1 + _EPS)  # [..., 24, 1]
+    vec = jnp.concatenate([jnp.ones_like(k), k], axis=-1)[..., None, :]
+    pts8 = jnp.concatenate([lines, points], axis=-2)  # [..., 24, 8, 2]
+    proj = jnp.sum(pts8 * vec, axis=-1) / jnp.linalg.norm(
+        vec, axis=-1
+    )  # [..., 24, 8]
+    spread = proj.max(axis=-1) - proj.min(axis=-1)  # [..., 24]
+
+    area = spread * dist
+    # degenerate candidate lines (coincident endpoints) give zero area —
+    # push them out of the argmin (reference: min_enclosing_box.py:155-158)
+    area = area + (area == 0.0).astype(area.dtype) * 1e8
+    idx = jax.lax.stop_gradient(jnp.argmin(area, axis=-1))[..., None]
+    w = jnp.take_along_axis(spread, idx, axis=-1)[..., 0]
+    h = jnp.take_along_axis(dist, idx, axis=-1)[..., 0]
+    return w, h
+
+
+def _enclosing_wh(c1, c2, enclosing_type: str):
+    if enclosing_type == "smallest":
+        return smallest_enclosing_box_2d(c1, c2)
+    if enclosing_type == "aligned":
+        return _enclosing_aabb_2d(c1, c2)
+    raise ValueError(f"unknown enclosing_type {enclosing_type!r}")
+
+
+def giou_3d_loss(
+    boxes1: jnp.ndarray,
+    boxes2: jnp.ndarray,
+    enclosing_type: str = "smallest",
+) -> jnp.ndarray:
+    """GIoU loss for rotated 3D boxes: enclosing volume is the 2D enclosing
+    box of the footprints ("smallest" rotated — the reference default — or
+    "aligned" AABB) x the z-extent union
+    (reference: oriented_iou_loss.py:109-127 cal_giou_3d)."""
     iou, union = iou_3d(boxes1, boxes2, return_union=True)
     c1 = box2corners(boxes1[..., jnp.array([0, 1, 3, 4, 6])])
     c2 = box2corners(boxes2[..., jnp.array([0, 1, 3, 4, 6])])
-    w, h = _enclosing_aabb_2d(c1, c2)
+    w, h = _enclosing_wh(c1, c2, enclosing_type)
     zmax = jnp.maximum(
         boxes1[..., 2] + boxes1[..., 5] / 2, boxes2[..., 2] + boxes2[..., 5] / 2
     )
@@ -175,13 +255,17 @@ def giou_3d_loss(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - giou
 
 
-def diou_3d_loss(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+def diou_3d_loss(
+    boxes1: jnp.ndarray,
+    boxes2: jnp.ndarray,
+    enclosing_type: str = "smallest",
+) -> jnp.ndarray:
     """DIoU loss: 1 - iou + center-distance^2 / enclosing-diagonal^2
     (reference: oriented_iou_loss.py:128-147 cal_diou_3d)."""
     iou, _ = iou_3d(boxes1, boxes2, return_union=True)
     c1 = box2corners(boxes1[..., jnp.array([0, 1, 3, 4, 6])])
     c2 = box2corners(boxes2[..., jnp.array([0, 1, 3, 4, 6])])
-    w, h = _enclosing_aabb_2d(c1, c2)
+    w, h = _enclosing_wh(c1, c2, enclosing_type)
     zmax = jnp.maximum(
         boxes1[..., 2] + boxes1[..., 5] / 2, boxes2[..., 2] + boxes2[..., 5] / 2
     )

@@ -125,18 +125,55 @@ class TestRotatedIoU:
         assert np.abs(np.asarray(g)).max() > 0
 
     def test_giou_diou(self):
-        # identical axis-aligned boxes: enclosing AABB == union -> loss 0
-        # (rotated identical boxes give a small positive loss because this
-        # implementation uses the axis-aligned enclosing box, not the
-        # reference's smallest enclosing box)
+        # identical boxes: smallest enclosing box == union -> loss 0, even
+        # when rotated (the reference-default "smallest" enclosing type)
         b1 = jnp.array([0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0])
         assert float(giou_3d_loss(b1, b1)) == pytest.approx(0.0, abs=1e-4)
         assert float(diou_3d_loss(b1, b1)) == pytest.approx(0.0, abs=1e-4)
         rot = jnp.array([0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.3])
-        assert 0.0 < float(giou_3d_loss(rot, rot)) < 0.5
+        assert float(giou_3d_loss(rot, rot)) == pytest.approx(0.0, abs=1e-3)
+        # the axis-aligned enclosing option penalizes identical rotated boxes
+        assert 0.0 < float(giou_3d_loss(rot, rot, "aligned")) < 0.5
         far = jnp.array([10.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.2])
         assert float(giou_3d_loss(b1, far)) > 1.0
         assert float(diou_3d_loss(b1, far)) > 1.0
+
+    def test_smallest_enclosing_box_vs_brute_force(self):
+        """Pin the 24-candidate smallest enclosing box against a dense
+        rotating-calipers angle sweep."""
+        from nerf_mae_tpu.ops.rotated_iou import (
+            box2corners,
+            smallest_enclosing_box_2d,
+        )
+
+        rs = np.random.RandomState(7)
+        for _ in range(20):
+            b = rs.rand(2, 5).astype(np.float32)
+            b[:, 2:4] += 0.5  # nonzero sizes
+            b[:, 4] = (b[:, 4] - 0.5) * np.pi
+            c1 = box2corners(jnp.asarray(b[0]))
+            c2 = box2corners(jnp.asarray(b[1]))
+            w, h = smallest_enclosing_box_2d(c1, c2)
+            got = float(w) * float(h)
+            pts = np.concatenate(
+                [np.asarray(c1), np.asarray(c2)], axis=0
+            )  # [8, 2]
+            best = np.inf
+            for ang in np.linspace(0, np.pi / 2, 3601):
+                rotm = np.array(
+                    [[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]]
+                )
+                q = pts @ rotm.T
+                area = np.ptp(q[:, 0]) * np.ptp(q[:, 1])
+                best = min(best, area)
+            assert got == pytest.approx(best, rel=2e-3), (got, best)
+
+    def test_smallest_enclosing_box_gradients(self):
+        b1 = jnp.array([0.0, 0.0, 0.0, 2.0, 3.0, 2.0, 0.3])
+        b2 = jnp.array([0.5, 0.2, 0.1, 2.0, 2.0, 2.0, -0.4])
+        g = jax.grad(lambda a: giou_3d_loss(a, b2))(b1)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
 
     def test_pairwise_shape(self):
         rs = np.random.RandomState(0)
