@@ -4,8 +4,11 @@ from nerf_mae_tpu.data.datasets import (
     scannet_density_to_alpha,
     load_split,
     mae_batch_iterator,
+    detection_batch_iterator,
+    split_hypersim_dataset,
     synthetic_scenes,
 )
+from nerf_mae_tpu.data.pipeline import PrefetchIterator, prefetch
 
 __all__ = [
     "SceneDataset",
@@ -13,5 +16,9 @@ __all__ = [
     "scannet_density_to_alpha",
     "load_split",
     "mae_batch_iterator",
+    "detection_batch_iterator",
+    "split_hypersim_dataset",
     "synthetic_scenes",
+    "PrefetchIterator",
+    "prefetch",
 ]

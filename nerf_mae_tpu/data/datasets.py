@@ -306,28 +306,38 @@ def mae_batch_iterator(
     seed: int = 0,
     drop_last: bool = True,
     loop: bool = True,
+    workers: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"grids": [B, R, R, R, 4] f32, "sizes": [B, 3] i32} forever
-    (or one epoch if loop=False)."""
+    (or one epoch if loop=False). workers>0 assembles scenes on a thread
+    pool (native collate releases the GIL — see data/pipeline.py)."""
+    from nerf_mae_tpu.data.pipeline import ScenePool
+
     rng = np.random.RandomState(seed)
     n = len(dataset)
-    while True:
-        order = rng.permutation(n) if shuffle else np.arange(n)
-        for start in range(0, n, batch_size):
-            sel = order[start : start + batch_size]
-            if len(sel) < batch_size and drop_last:
-                continue
-            grids = np.zeros(
-                (len(sel), resolution, resolution, resolution, 4), np.float32
-            )
-            sizes = np.zeros((len(sel), 3), np.int32)
-            for i, j in enumerate(sel):
-                grids[i], sizes[i] = pad_to_cube(
-                    dataset[int(j)]["rgbsigma"], resolution
+    pool = ScenePool(workers)
+
+    def load(j):
+        return pad_to_cube(dataset[int(j)]["rgbsigma"], resolution)
+
+    try:
+        while True:
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            for start in range(0, n, batch_size):
+                sel = order[start : start + batch_size]
+                if len(sel) < batch_size and drop_last:
+                    continue
+                grids = np.zeros(
+                    (len(sel), resolution, resolution, resolution, 4), np.float32
                 )
-            yield {"grids": grids, "sizes": sizes}
-        if not loop:
-            return
+                sizes = np.zeros((len(sel), 3), np.int32)
+                for i, (g, s) in enumerate(pool.map(load, sel)):
+                    grids[i], sizes[i] = g, s
+                yield {"grids": grids, "sizes": sizes}
+            if not loop:
+                return
+    finally:
+        pool.close()
 
 
 class GeneralDataset:
@@ -378,6 +388,33 @@ class ConcatDataset:
         return self.datasets[d][index - int(self._offsets[d])]
 
 
+def split_hypersim_dataset(
+    scenes: Sequence[str],
+    train_ratio: float,
+    val_ratio: float,
+    output_path: str,
+    seed: Optional[int] = None,
+) -> str:
+    """Shuffle scenes into train/val/test splits and write
+    hypersim_split.npz (reference: nerf_rpn/datasets.py:453-476; this adds
+    an explicit seed for reproducibility). Returns the npz path."""
+    assert train_ratio + val_ratio <= 1.0, (
+        "train_ratio + val_ratio must be <= 1.0"
+    )
+    shuffled = list(scenes)
+    np.random.RandomState(seed).shuffle(shuffled)
+    n_train = int(len(shuffled) * train_ratio)
+    n_val = int(len(shuffled) * (train_ratio + val_ratio))
+    out = os.path.join(output_path, "hypersim_split.npz")
+    np.savez(
+        out,
+        train_scenes=np.array(shuffled[:n_train]),
+        val_scenes=np.array(shuffled[n_train:n_val]),
+        test_scenes=np.array(shuffled[n_val:]),
+    )
+    return out
+
+
 def pad_boxes(boxes: np.ndarray, max_gt: int) -> Tuple[np.ndarray, np.ndarray]:
     """[N, 6|7] -> ([max_gt, 6|7], valid [max_gt]) with zero padding."""
     d = boxes.shape[1] if boxes.size else 6
@@ -399,18 +436,27 @@ def detection_batch_iterator(
     seed: int = 0,
     drop_last: bool = True,
     loop: bool = True,
+    workers: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"grids": [B, R, R, R, 4], "sizes": [B, 3],
     "gt_boxes": [B, G, 6|7], "gt_valid": [B, G]}."""
+    from nerf_mae_tpu.data.pipeline import ScenePool
+
     rng = np.random.RandomState(seed)
     n = len(dataset)
+    pool = ScenePool(workers)
     while True:
         order = rng.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n, batch_size):
             sel = order[start : start + batch_size]
             if len(sel) < batch_size and drop_last:
                 continue
-            items = [dataset[int(j)] for j in sel]
+            def load(j):
+                item = dataset[int(j)]
+                return item, pad_to_cube(item["rgbsigma"], resolution)
+
+            pairs = pool.map(load, sel)
+            items = [it for it, _ in pairs]
             box_dim = max(
                 (i["boxes"].shape[1] for i in items if i.get("boxes") is not None),
                 default=6,
@@ -420,8 +466,8 @@ def detection_batch_iterator(
             sizes = np.zeros((len(sel), 3), np.int32)
             gt = np.zeros((len(sel), max_gt, box_dim), np.float32)
             gv = np.zeros((len(sel), max_gt), bool)
-            for i, item in enumerate(items):
-                grids[i], sizes[i] = pad_to_cube(item["rgbsigma"], resolution)
+            for i, (item, padded) in enumerate(pairs):
+                grids[i], sizes[i] = padded
                 if item.get("boxes") is not None:
                     gt[i], gv[i] = pad_boxes(item["boxes"], max_gt)
             yield {"grids": grids, "sizes": sizes, "gt_boxes": gt, "gt_valid": gv}

@@ -57,7 +57,25 @@ def add_common_flags(p):
     p.add_argument("--rotate_prob", default=0.0, type=float)
     p.add_argument("--rot_scale_prob", default=0.0, type=float)
     p.add_argument("--n_synthetic", default=16, type=int)
+    p.add_argument("--workers", default=max((os.cpu_count() or 1) - 1, 0),
+                   type=int, help="batch-assembly threads (0 = inline)")
+    p.add_argument("--prefetch", default=2, type=int,
+                   help="batches kept ready on a background thread "
+                        "(0 = synchronous)")
     return p
+
+
+def overlap_batches(batches, mesh, depth: int):
+    """Wrap a numpy batch iterator so assembly + device_put of batch N+1
+    overlap the device step on batch N (reference analogue: DataLoader
+    worker processes, nerf_mae/run_swin_mae3d.py:578-586)."""
+    from nerf_mae_tpu.data.pipeline import prefetch
+    from nerf_mae_tpu.parallel import shard_batch
+
+    if depth > 0:
+        return prefetch(batches, depth=depth,
+                        map_fn=lambda b: shard_batch(b, mesh))
+    return (shard_batch(b, mesh) for b in batches)
 
 
 def load_mae_params(mae_checkpoint_dir: str, mae_cfg):

@@ -19,7 +19,8 @@ import time
 
 import numpy as np
 
-from common import add_common_flags, benchmark_step, load_mae_params, setup
+from common import (add_common_flags, benchmark_step, load_mae_params,
+                    overlap_batches, setup)
 
 import jax
 
@@ -136,9 +137,12 @@ def main(argv=None):
         state = state.replace(params=restored["params"], opt_state=restored["opt_state"])
         log.info("restored checkpoint from %s", args.checkpoint)
 
-    batches = detection_batch_iterator(
-        train_ds, args.batch_size, args.resolution, max_gt=args.max_gt,
-        seed=args.seed,
+    batches = overlap_batches(
+        detection_batch_iterator(
+            train_ds, args.batch_size, args.resolution, max_gt=args.max_gt,
+            seed=args.seed, workers=args.workers,
+        ),
+        mesh, args.prefetch,
     )
 
     def run_eval(state):
@@ -192,7 +196,7 @@ def main(argv=None):
         return
 
     if args.mode == "benchmark":
-        batch = shard_batch(next(batches), mesh)
+        batch = next(batches)
         mean, std = benchmark_step(trainer.predict_step, state, batch)
         log.info("inference: %.2f ± %.2f ms (batch %d)", mean, std, args.batch_size)
         return
@@ -200,7 +204,7 @@ def main(argv=None):
     best_ap = -1.0
     t0 = time.time()
     for step in range(1, total_steps + 1):
-        batch = shard_batch(next(batches), mesh)
+        batch = next(batches)
         state, m = trainer.train_step(state, batch)
         if step % args.log_interval == 0:
             mm = {k: float(v) for k, v in m.items()}

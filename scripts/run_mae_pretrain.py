@@ -72,6 +72,12 @@ def parse_args(argv=None):
                    help="override jax platform (e.g. cpu for smoke runs)")
     p.add_argument("--log_dir", default=None, help="jsonl metric log dir")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--workers", default=max((os.cpu_count() or 1) - 1, 0),
+                   type=int, help="batch-assembly threads (0 = inline)")
+    p.add_argument("--prefetch", default=2, type=int,
+                   help="batches kept ready on a background thread "
+                        "(0 = synchronous; reference analogue: DataLoader "
+                        "workers, run_swin_mae3d.py:578-586)")
     return p.parse_args(argv)
 
 
@@ -150,9 +156,20 @@ def main(argv=None):
         )
         log.info("restored checkpoint from %s", args.checkpoint)
 
+    from nerf_mae_tpu.data.pipeline import prefetch
+
     batches = mae_batch_iterator(
-        train_ds, args.batch_size, args.resolution, seed=args.seed
+        train_ds, args.batch_size, args.resolution, seed=args.seed,
+        workers=args.workers,
     )
+    if args.prefetch > 0:
+        # device_put happens on the prefetch thread: batch N+1's host work
+        # and H2D transfer overlap the device step on batch N.
+        batches = prefetch(
+            batches, depth=args.prefetch, map_fn=lambda b: shard_batch(b, mesh)
+        )
+    else:
+        batches = (shard_batch(b, mesh) for b in batches)
 
     def run_eval(state):
         it = mae_batch_iterator(
@@ -179,7 +196,7 @@ def main(argv=None):
         return
 
     if args.mode == "benchmark":
-        batch = shard_batch(next(batches), mesh)
+        batch = next(batches)
         trainer.train_step(state, batch)  # compile
         reps, times = 20, []
         for _ in range(reps):
@@ -200,7 +217,7 @@ def main(argv=None):
     best_psnr = -1.0
     t0 = time.time()
     for step in range(1, total_steps + 1):
-        batch = shard_batch(next(batches), mesh)
+        batch = next(batches)
         state, metrics = trainer.train_step(state, batch)
         if step % args.log_interval == 0:
             m = {k: float(v) for k, v in metrics.items()}
@@ -225,6 +242,8 @@ def main(argv=None):
                 log.info("saved best-PSNR ckpt (%.3f) at step %d", best_psnr, step)
         elif step % args.ckpt_interval == 0:
             save_checkpoint(args.checkpoint_dir, step, state.params, state.opt_state)
+    if hasattr(batches, "close"):
+        batches.close()
     save_checkpoint(args.checkpoint_dir, total_steps, state.params, state.opt_state)
     log.info("done: %d steps", total_steps)
 

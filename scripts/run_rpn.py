@@ -12,7 +12,8 @@ import time
 
 import numpy as np
 
-from common import add_common_flags, benchmark_step, load_mae_params, setup
+from common import (add_common_flags, benchmark_step, load_mae_params,
+                    overlap_batches, setup)
 
 import jax
 
@@ -121,9 +122,12 @@ def main(argv=None):
         )
         state = state.replace(params=restored["params"], opt_state=restored["opt_state"])
 
-    batches = detection_batch_iterator(
-        train_ds, args.batch_size, args.resolution, max_gt=args.max_gt,
-        seed=args.seed,
+    batches = overlap_batches(
+        detection_batch_iterator(
+            train_ds, args.batch_size, args.resolution, max_gt=args.max_gt,
+            seed=args.seed, workers=args.workers,
+        ),
+        mesh, args.prefetch,
     )
 
     def run_eval(state):
@@ -155,7 +159,7 @@ def main(argv=None):
                 json.dump(out, f)
         return
     if args.mode == "benchmark":
-        batch = shard_batch(next(batches), mesh)
+        batch = next(batches)
         mean, std = benchmark_step(trainer.predict_step, state, batch)
         log.info("inference: %.2f ± %.2f ms", mean, std)
         return
@@ -163,7 +167,7 @@ def main(argv=None):
     best = -1.0
     t0 = time.time()
     for step in range(1, total_steps + 1):
-        state, m = trainer.train_step(state, shard_batch(next(batches), mesh))
+        state, m = trainer.train_step(state, next(batches))
         if step % args.log_interval == 0:
             mm = {k: float(v) for k, v in m.items()}
             log.info(

@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-from common import add_common_flags, load_mae_params, setup
+from common import add_common_flags, load_mae_params, overlap_batches, setup
 
 import jax
 import jax.numpy as jnp
@@ -136,9 +136,12 @@ def main(argv=None):
         total_steps,
     )
 
-    batches = detection_batch_iterator(
-        train_ds, args.batch_size, args.resolution, max_gt=args.max_gt,
-        seed=args.seed,
+    batches = overlap_batches(
+        detection_batch_iterator(
+            train_ds, args.batch_size, args.resolution, max_gt=args.max_gt,
+            seed=args.seed, workers=args.workers,
+        ),
+        mesh, args.prefetch,
     )
 
     def obbify(boxes):
@@ -146,7 +149,7 @@ def main(argv=None):
         return jnp.asarray(boxes)
 
     # init rcnn on one real batch
-    batch0 = shard_batch(next(batches), mesh)
+    batch0 = next(batches)
     feats0, det0 = features_and_proposals(rpn_state.params, batch0)
     rng = jax.random.PRNGKey(args.seed)
     params = rcnn.init(
@@ -208,7 +211,7 @@ def main(argv=None):
 
     t0 = time.time()
     for step in range(1, total_steps + 1):
-        batch = shard_batch(next(batches), mesh)
+        batch = next(batches)
         feats, det = features_and_proposals(rpn_state.params, batch)
         params, opt_state, loss, aux = train_step(
             params, opt_state, feats, det,

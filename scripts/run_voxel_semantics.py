@@ -13,7 +13,8 @@ import time
 
 import numpy as np
 
-from common import add_common_flags, benchmark_step, load_mae_params, setup
+from common import (add_common_flags, benchmark_step, load_mae_params,
+                    overlap_batches, setup)
 
 import jax
 
@@ -116,7 +117,7 @@ def main(argv=None):
         )
         state = state.replace(params=restored["params"], opt_state=restored["opt_state"])
 
-    batches = batch_iter(train_ds, args)
+    batches = overlap_batches(batch_iter(train_ds, args), mesh, args.prefetch)
 
     def run_eval(state):
         inter = np.zeros(args.num_classes)
@@ -155,7 +156,7 @@ def main(argv=None):
                 json.dump(out, f)
         return
     if args.mode == "benchmark":
-        batch = shard_batch(next(batches), mesh)
+        batch = next(batches)
         mean, std = benchmark_step(trainer.eval_step, state, batch)
         log.info("inference: %.2f ± %.2f ms", mean, std)
         return
@@ -163,7 +164,7 @@ def main(argv=None):
     best = -1.0
     t0 = time.time()
     for step in range(1, total_steps + 1):
-        state, m = trainer.train_step(state, shard_batch(next(batches), mesh))
+        state, m = trainer.train_step(state, next(batches))
         if step % args.log_interval == 0:
             mm = {k: float(v) for k, v in m.items()}
             log.info("step %d/%d loss %.4f soft_miou %.3f %.1f grids/s",

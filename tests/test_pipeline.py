@@ -1,0 +1,135 @@
+"""Input-pipeline tests: prefetch iterator + threaded batch assembly.
+
+The overlapped pipeline is the TPU-host counterpart of the reference's
+DataLoader worker processes (reference: nerf_mae/run_swin_mae3d.py:578-586).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from nerf_mae_tpu.data.datasets import (
+    detection_batch_iterator,
+    mae_batch_iterator,
+    synthetic_detection_scenes,
+    synthetic_scenes,
+)
+from nerf_mae_tpu.data.pipeline import PrefetchIterator, prefetch
+
+pytestmark = pytest.mark.quick
+
+
+class _ListDS:
+    def __init__(self, scenes):
+        self.scenes = scenes
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def __getitem__(self, i):
+        s = self.scenes[i]
+        return dict(s) if isinstance(s, dict) else {"rgbsigma": s}
+
+
+def test_prefetch_preserves_order_and_values():
+    src = [{"x": np.full((4,), i, np.float32)} for i in range(20)]
+    got = list(prefetch(iter(src), depth=3))
+    assert len(got) == 20
+    for i, b in enumerate(got):
+        np.testing.assert_array_equal(b["x"], src[i]["x"])
+
+
+def test_prefetch_map_fn_runs_on_background_thread():
+    import threading
+
+    main = threading.get_ident()
+    tids = []
+
+    def mark(x):
+        tids.append(threading.get_ident())
+        return x * 2
+
+    got = list(prefetch(iter([1, 2, 3]), depth=2, map_fn=mark))
+    assert got == [2, 4, 6]
+    assert all(t != main for t in tids)
+
+
+def test_prefetch_propagates_source_exception():
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch(bad(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="boom"):
+        for _ in it:
+            pass
+
+
+def test_prefetch_close_stops_producer_promptly():
+    produced = []
+
+    def slow():
+        for i in range(10_000):
+            produced.append(i)
+            yield i
+
+    it = prefetch(slow(), depth=2)
+    next(it)
+    it.close()
+    n = len(produced)
+    time.sleep(0.2)
+    # producer must stop within one queue slot of where it was at close
+    assert len(produced) <= n + 2
+    with pytest.raises(StopIteration):
+        next(it)
+
+
+def test_prefetch_context_manager():
+    with prefetch(iter(range(5)), depth=1) as it:
+        assert next(it) == 0
+    with pytest.raises(StopIteration):
+        next(it)
+
+
+def test_prefetch_depth_validation():
+    with pytest.raises(ValueError):
+        PrefetchIterator(iter([]), depth=0)
+
+
+def test_mae_iterator_workers_match_inline():
+    ds = _ListDS(synthetic_scenes(6, 32, seed=3))
+    a = list(mae_batch_iterator(ds, 2, 32, shuffle=False, loop=False, workers=0))
+    b = list(mae_batch_iterator(ds, 2, 32, shuffle=False, loop=False, workers=3))
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["grids"], y["grids"])
+        np.testing.assert_array_equal(x["sizes"], y["sizes"])
+
+
+def test_detection_iterator_workers_match_inline():
+    ds = _ListDS(synthetic_detection_scenes(6, 32, seed=3))
+    a = list(
+        detection_batch_iterator(ds, 2, 32, max_gt=8, shuffle=False, loop=False,
+                                 workers=0)
+    )
+    b = list(
+        detection_batch_iterator(ds, 2, 32, max_gt=8, shuffle=False, loop=False,
+                                 workers=3)
+    )
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        for k in x:
+            np.testing.assert_array_equal(x[k], y[k])
+
+
+def test_prefetched_mae_iterator_end_to_end():
+    ds = _ListDS(synthetic_scenes(5, 32, seed=1))
+    it = prefetch(
+        mae_batch_iterator(ds, 2, 32, shuffle=False, loop=False, workers=2),
+        depth=2,
+    )
+    batches = list(it)
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["grids"].shape == (2, 32, 32, 32, 4)
