@@ -33,6 +33,10 @@ class SwinConfig:
     # "auto": fused Pallas window attention on TPU, XLA path elsewhere;
     # "pallas" / "xla" to force
     attention_impl: str = "auto"
+    # MLP activation: "tanh" (tanh-approximated gelu — what the fused TPU
+    # kernels implement) or "erf" (exact, matching torch nn.GELU for
+    # weight-parity checks; disables the fused whole-block kernel)
+    gelu: str = "tanh"
 
     def __post_init__(self):
         for dim, heads in zip(self.stage_dims, self.num_heads):

@@ -105,6 +105,7 @@ class SwinBlock3D(nn.Module):
     norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
     attention_impl: str = "auto"  # auto | pallas | xla
+    gelu: str = "tanh"  # tanh (fused-kernel math) | erf (torch parity)
 
     def _pallas_wanted(self) -> bool:
         if self.attention_impl == "xla":
@@ -116,6 +117,9 @@ class SwinBlock3D(nn.Module):
     def _use_fused_block(self, shape) -> bool:
         from nerf_mae_tpu.ops.pallas_block import fused_block_supported
 
+        # the fused kernel hardcodes tanh-gelu
+        if self.gelu != "tanh":
+            return False
         return self._pallas_wanted() and fused_block_supported(
             shape, self.window, self.num_heads, self.mlp_ratio
         )
@@ -224,7 +228,7 @@ class SwinBlock3D(nn.Module):
 
         h = layer_norm(x, ln2_scale, ln2_bias, self.norm_eps)
         h = _dense(h, fc1_kernel, fc1_bias, self.dtype)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=self.gelu != "erf")
         h = _dense(h, fc2_kernel, fc2_bias, self.dtype)
         rng = None
         if not deterministic and self.drop_path_rate > 0.0:
@@ -330,6 +334,7 @@ class SwinEncoder3D(nn.Module):
                     norm_eps=cfg.norm_eps,
                     dtype=self.dtype,
                     attention_impl=cfg.attention_impl,
+                    gelu=cfg.gelu,
                     name=f"stage{i_stage}_block{i_layer}",
                 )(x, deterministic)
                 block_id += 1
