@@ -152,6 +152,68 @@ def proposal_average_precision(
     return {"ap": ap, "num_det": int(len(all_dets))}
 
 
+def proposal_precision(
+    proposals_list: Sequence[np.ndarray],
+    scores_list: Sequence[np.ndarray],
+    gt_list: Sequence[np.ndarray],
+    score_thresh: float = 0.0,
+    thresholds: Optional[np.ndarray] = None,
+    limit: Optional[int] = None,
+) -> Dict:
+    """Precision at a confidence threshold, averaged over IoU thresholds
+    .5:.05:.95 (reference: eval.py:84-226 evaluate_box_proposals_precision):
+    greedily match each proposal to its best-covered unused GT, record
+    coverage IoUs, precision(t) = #(coverage >= t) / #detections."""
+    box_overlaps = []
+    num_det = 0
+    for proposals, scores, gts in zip(proposals_list, scores_list, gt_list):
+        proposals = np.asarray(proposals)
+        scores = np.asarray(scores)
+        gts = np.asarray(gts)
+        keep = scores >= score_thresh
+        proposals, scores = proposals[keep], scores[keep]
+        order = np.argsort(-scores)
+        proposals = proposals[order]
+        if proposals.shape[0] == 0:
+            continue
+        if limit is not None and len(proposals) > limit:
+            proposals = proposals[:limit]
+        num_det += proposals.shape[0]
+        if gts.shape[0] == 0:
+            box_overlaps.append(np.zeros(proposals.shape[0], np.float32))
+            continue
+        overlaps = _iou_matrix(proposals, gts)
+        ov = np.zeros(proposals.shape[0], np.float32)
+        for j in range(min(proposals.shape[0], gts.shape[0])):
+            max_ov = overlaps.max(axis=1)
+            box_ind = int(max_ov.argmax())
+            gt_ind = int(overlaps[box_ind].argmax())
+            ov[j] = overlaps[box_ind, gt_ind]
+            overlaps[box_ind, :] = -1
+            overlaps[:, gt_ind] = -1
+        box_overlaps.append(ov)
+
+    box_overlaps = (
+        np.sort(np.concatenate(box_overlaps))
+        if box_overlaps else np.zeros(0, np.float32)
+    )
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05, dtype=np.float32)
+    precisions = np.array(
+        [(box_overlaps >= t).sum() / max(float(num_det), 1.0)
+         for t in thresholds],
+        np.float32,
+    )
+    return {
+        "ap": float(precisions.mean()),
+        "precisions": precisions,
+        "thresholds": thresholds,
+        "score_thresh": score_thresh,
+        "box_overlaps": box_overlaps,
+        "num_det": num_det,
+    }
+
+
 def detection_eval_summary(
     proposals_list, scores_list, gt_list, top_n: Sequence[int] = (300, 1000, 2500)
 ) -> Dict[str, float]:
