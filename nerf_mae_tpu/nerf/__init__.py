@@ -1,5 +1,11 @@
 from nerf_mae_tpu.nerf.model import NeRFMLP
-from nerf_mae_tpu.nerf.render import get_rays, render_rays
+from nerf_mae_tpu.nerf.render import (
+    depth_nll_loss,
+    get_rays,
+    render_rays,
+    render_rays_hierarchical,
+    sample_pdf,
+)
 from nerf_mae_tpu.nerf.train import NeRFTrainer
 from nerf_mae_tpu.nerf.extract import extract_rgbsigma_grid
 
@@ -7,6 +13,9 @@ __all__ = [
     "NeRFMLP",
     "get_rays",
     "render_rays",
+    "render_rays_hierarchical",
+    "sample_pdf",
+    "depth_nll_loss",
     "NeRFTrainer",
     "extract_rgbsigma_grid",
 ]

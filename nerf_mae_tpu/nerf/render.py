@@ -32,32 +32,16 @@ def get_rays(
     return rays_o, rays_d
 
 
-def render_rays(
-    params,
-    model_apply,
-    rays_o: jnp.ndarray,  # [N, 3]
+def _composite(
+    t: jnp.ndarray,  # [N, S] sorted sample depths
+    rgb_logits: jnp.ndarray,  # [N, S, 3]
+    sigma_raw: jnp.ndarray,  # [N, S]
     rays_d: jnp.ndarray,  # [N, 3]
-    near: float,
-    far: float,
-    n_samples: int = 64,
-    rng: Optional[jax.Array] = None,
-    white_bkgd: bool = False,
+    white_bkgd: bool,
 ):
-    """Single-level stratified volume rendering.
-    Returns dict {rgb [N, 3], depth [N], acc [N]}."""
-    n = rays_o.shape[0]
-    t = jnp.linspace(near, far, n_samples)
-    t = jnp.broadcast_to(t, (n, n_samples))
-    if rng is not None:  # stratified jitter
-        mids = (t[:, 1:] + t[:, :-1]) / 2
-        lo = jnp.concatenate([t[:, :1], mids], axis=1)
-        hi = jnp.concatenate([mids, t[:, -1:]], axis=1)
-        t = lo + jax.random.uniform(rng, t.shape) * (hi - lo)
-
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]  # [N, S, 3]
-    viewdir = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    rgb_logits, sigma_raw = model_apply(params, pts, viewdir[:, None, :])
-
+    """Alpha compositing (raw2outputs semantics,
+    reference: data/scannet/run_nerf.py:664-706)."""
+    n = t.shape[0]
     delta = jnp.diff(t, axis=1)
     delta = jnp.concatenate([delta, jnp.full((n, 1), 1e10)], axis=1)
     delta = delta * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -72,4 +56,139 @@ def render_rays(
     acc = weights.sum(axis=1)
     if white_bkgd:
         comp_rgb = comp_rgb + (1.0 - acc[..., None])
-    return {"rgb": comp_rgb, "depth": depth, "acc": acc}
+    return {"rgb": comp_rgb, "depth": depth, "acc": acc, "weights": weights,
+            "z_vals": t}
+
+
+def _stratified(near, far, n, n_samples, rng):
+    t = jnp.linspace(near, far, n_samples)
+    t = jnp.broadcast_to(t, (n, n_samples))
+    if rng is not None:  # stratified jitter
+        mids = (t[:, 1:] + t[:, :-1]) / 2
+        lo = jnp.concatenate([t[:, :1], mids], axis=1)
+        hi = jnp.concatenate([mids, t[:, -1:]], axis=1)
+        t = lo + jax.random.uniform(rng, t.shape) * (hi - lo)
+    return t
+
+
+def sample_pdf(
+    bins: jnp.ndarray,  # [N, B+1] bin edges (ascending)
+    weights: jnp.ndarray,  # [N, B]
+    n_samples: int,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling of n_samples per ray from a piecewise-constant
+    pdf (reference: the dense-depth-priors sample_pdf used at
+    data/scannet/run_nerf.py:950-957). Static shapes, vectorized
+    searchsorted — jit/grad-safe (samples are treated as constants by the
+    caller, matching the reference's .detach())."""
+    n, b = weights.shape
+    weights = weights + 1e-5
+    pdf = weights / weights.sum(axis=1, keepdims=True)
+    cdf = jnp.concatenate(
+        [jnp.zeros((n, 1)), jnp.cumsum(pdf, axis=1)], axis=1
+    )  # [N, B+1]
+
+    if rng is None:  # deterministic: midpoints of uniform strata
+        u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, (n, n_samples))
+    else:
+        u = jax.random.uniform(rng, (n, n_samples))
+
+    idx = jax.vmap(
+        lambda c, uu: jnp.searchsorted(c, uu, side="right")
+    )(cdf, u)
+    lo = jnp.clip(idx - 1, 0, b)
+    hi = jnp.clip(idx, 0, b)
+    cdf_lo = jnp.take_along_axis(cdf, lo, axis=1)
+    cdf_hi = jnp.take_along_axis(cdf, hi, axis=1)
+    bin_lo = jnp.take_along_axis(bins, lo, axis=1)
+    bin_hi = jnp.take_along_axis(bins, hi, axis=1)
+    denom = jnp.where(cdf_hi - cdf_lo < 1e-5, 1.0, cdf_hi - cdf_lo)
+    frac = (u - cdf_lo) / denom
+    return bin_lo + frac * (bin_hi - bin_lo)
+
+
+def render_rays(
+    params,
+    model_apply,
+    rays_o: jnp.ndarray,  # [N, 3]
+    rays_d: jnp.ndarray,  # [N, 3]
+    near: float,
+    far: float,
+    n_samples: int = 64,
+    rng: Optional[jax.Array] = None,
+    white_bkgd: bool = False,
+):
+    """Single-level stratified volume rendering.
+    Returns dict {rgb [N, 3], depth [N], acc [N], weights, z_vals}."""
+    n = rays_o.shape[0]
+    t = _stratified(near, far, n, n_samples, rng)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]  # [N, S, 3]
+    viewdir = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rgb_logits, sigma_raw = model_apply(params, pts, viewdir[:, None, :])
+    return _composite(t, rgb_logits, sigma_raw, rays_d, white_bkgd)
+
+
+def render_rays_hierarchical(
+    params_coarse,
+    params_fine,
+    model_apply,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+    n_coarse: int = 64,
+    n_importance: int = 64,
+    rng: Optional[jax.Array] = None,
+    white_bkgd: bool = False,
+):
+    """Two-level (coarse -> importance-sampled fine) rendering, the
+    reference's N_importance>0 path (reference:
+    data/scannet/run_nerf.py:939-981): fine samples are drawn from the
+    coarse weight pdf over z-midpoints, merged + sorted with the coarse
+    samples, and evaluated with the fine network. Returns the fine outputs
+    plus rgb0/depth0/acc0 from the coarse pass (both losses are trained,
+    :1326-1328)."""
+    n = rays_o.shape[0]
+    rng_c, rng_f = (None, None) if rng is None else jax.random.split(rng)
+    t = _stratified(near, far, n, n_coarse, rng_c)
+    viewdir = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+    rgb_logits, sigma_raw = model_apply(params_coarse, pts, viewdir[:, None, :])
+    coarse = _composite(t, rgb_logits, sigma_raw, rays_d, white_bkgd)
+
+    t_mid = 0.5 * (t[:, 1:] + t[:, :-1])
+    t_fine = sample_pdf(
+        t_mid, jax.lax.stop_gradient(coarse["weights"][:, 1:-1]),
+        n_importance, rng_f,
+    )
+    t_all = jnp.sort(jnp.concatenate([t, jax.lax.stop_gradient(t_fine)],
+                                     axis=1), axis=1)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t_all[..., None]
+    rgb_logits, sigma_raw = model_apply(params_fine, pts, viewdir[:, None, :])
+    out = _composite(t_all, rgb_logits, sigma_raw, rays_d, white_bkgd)
+    out["rgb0"] = coarse["rgb"]
+    out["depth0"] = coarse["depth"]
+    out["acc0"] = coarse["acc"]
+    return out
+
+
+def depth_nll_loss(
+    depth: jnp.ndarray,  # [N] rendered expected depth
+    z_vals: jnp.ndarray,  # [N, S]
+    weights: jnp.ndarray,  # [N, S]
+    target_depth: jnp.ndarray,  # [N]
+    valid_depth: jnp.ndarray,  # [N] bool
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    """Gaussian negative-log-likelihood depth supervision with the variance
+    of the ray's weight distribution — the dense-depth-priors compute_depth_
+    loss the reference trains with (reference: data/scannet/run_nerf.py:
+    1316-1324; GaussianNLLLoss over valid-depth rays). Masked static-shape
+    form: invalid rays contribute 0."""
+    var = ((z_vals - depth[:, None]) ** 2 * weights).sum(axis=1)
+    var = jnp.maximum(var, eps)
+    nll = 0.5 * (jnp.log(var) + (depth - target_depth) ** 2 / var)
+    m = valid_depth.astype(jnp.float32)
+    return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)

@@ -1,5 +1,7 @@
 """Per-scene NeRF trainer (reference: data/scannet/run_nerf.py:1188-1480
-train_nerf — ray batching, MSE photometric loss, Adam)."""
+train_nerf — ray batching, MSE photometric loss, Adam; hierarchical
+coarse/fine sampling when n_importance > 0 (:939-981) and optional
+dense-depth-prior Gaussian-NLL depth supervision (:1316-1324))."""
 
 from __future__ import annotations
 
@@ -13,7 +15,12 @@ import numpy as np
 import optax
 
 from nerf_mae_tpu.nerf.model import NeRFMLP
-from nerf_mae_tpu.nerf.render import get_rays, render_rays
+from nerf_mae_tpu.nerf.render import (
+    depth_nll_loss,
+    get_rays,
+    render_rays,
+    render_rays_hierarchical,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -23,6 +30,8 @@ class NeRFTrainer:
     near: float
     far: float
     n_samples: int = 64
+    n_importance: int = 0  # >0 enables the coarse/fine hierarchical path
+    depth_loss_weight: float = 0.0
     lr: float = 5e-4
     ray_batch: int = 4096
     scene_scale: float = 1.0  # divides xyz before encoding
@@ -42,30 +51,63 @@ class NeRFTrainer:
         self.train_step = jax.jit(self._train_step)
         self.render_chunk = jax.jit(self._render_chunk)
 
+    @property
+    def hierarchical(self) -> bool:
+        return self.n_importance > 0
+
     def init(self, rng: jax.Array):
-        params = self.model.init(
-            rng, jnp.zeros((1, 1, 3)), jnp.zeros((1, 1, 3))
-        )["params"]
+        def one(r):
+            return self.model.init(
+                r, jnp.zeros((1, 1, 3)), jnp.zeros((1, 1, 3))
+            )["params"]
+
+        if self.hierarchical:
+            rc, rf = jax.random.split(rng)
+            params = {"coarse": one(rc), "fine": one(rf)}
+        else:
+            params = {"coarse": one(rng)}
         return params, self.tx.init(params)
 
-    def _train_step(self, params, opt_state, rays_o, rays_d, target_rgb, rng):
-        def loss_fn(p):
-            out = render_rays(
-                p, self._apply, rays_o, rays_d, self.near, self.far,
-                self.n_samples, rng, self.white_bkgd,
+    def _render(self, params, rays_o, rays_d, rng):
+        if self.hierarchical:
+            return render_rays_hierarchical(
+                params["coarse"], params["fine"], self._apply, rays_o, rays_d,
+                self.near, self.far, self.n_samples, self.n_importance, rng,
+                self.white_bkgd,
             )
-            return ((out["rgb"] - target_rgb) ** 2).mean()
+        return render_rays(
+            params["coarse"], self._apply, rays_o, rays_d, self.near,
+            self.far, self.n_samples, rng, self.white_bkgd,
+        )
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def _train_step(self, params, opt_state, rays_o, rays_d, target_rgb,
+                    target_depth, valid_depth, rng):
+        def loss_fn(p):
+            out = self._render(p, rays_o, rays_d, rng)
+            img_loss = ((out["rgb"] - target_rgb) ** 2).mean()
+            loss = img_loss
+            if self.hierarchical:  # coarse head trains too (:1326-1328)
+                loss = loss + ((out["rgb0"] - target_rgb) ** 2).mean()
+            if self.depth_loss_weight > 0.0:
+                loss = loss + self.depth_loss_weight * depth_nll_loss(
+                    out["depth"], out["z_vals"], out["weights"],
+                    target_depth, valid_depth,
+                )
+            return loss, img_loss
+
+        (loss, img_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
         updates, opt_state = self.tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, img_loss
 
     def _render_chunk(self, params, rays_o, rays_d):
-        return render_rays(
-            params, self._apply, rays_o, rays_d, self.near, self.far,
-            self.n_samples, None, self.white_bkgd,
-        )
+        return self._render(params, rays_o, rays_d, None)
+
+    def fine_params(self, params):
+        """The network used at extraction time (fine when hierarchical)."""
+        return params["fine"] if self.hierarchical else params["coarse"]
 
     def fit(
         self,
@@ -75,6 +117,8 @@ class NeRFTrainer:
         steps: int = 2000,
         seed: int = 0,
         log_every: int = 200,
+        depths: Optional[np.ndarray] = None,  # [V, H, W] metric depth
+        valid_depths: Optional[np.ndarray] = None,  # [V, H, W] bool
     ):
         """Train on random ray batches; returns (params, final_psnr)."""
         v, h, w, _ = images.shape
@@ -86,20 +130,31 @@ class NeRFTrainer:
         rays_o = np.concatenate(all_o)
         rays_d = np.concatenate(all_d)
         targets = images.reshape(-1, 3).astype(np.float32)
+        if depths is not None:
+            tgt_depth = depths.reshape(-1).astype(np.float32)
+            val_depth = (
+                valid_depths.reshape(-1).astype(bool)
+                if valid_depths is not None
+                else tgt_depth > 0
+            )
+        else:
+            tgt_depth = np.zeros(rays_o.shape[0], np.float32)
+            val_depth = np.zeros(rays_o.shape[0], bool)
 
         rng = jax.random.PRNGKey(seed)
         params, opt_state = self.init(rng)
         rs = np.random.RandomState(seed)
-        loss = np.inf
+        img_loss = np.inf
         for step in range(1, steps + 1):
             sel = rs.randint(0, rays_o.shape[0], self.ray_batch)
-            params, opt_state, loss = self.train_step(
+            params, opt_state, loss, img_loss = self.train_step(
                 params, opt_state, jnp.asarray(rays_o[sel]),
                 jnp.asarray(rays_d[sel]), jnp.asarray(targets[sel]),
+                jnp.asarray(tgt_depth[sel]), jnp.asarray(val_depth[sel]),
                 jax.random.fold_in(rng, step),
             )
             if step % log_every == 0:
-                psnr = -10 * np.log10(max(float(loss), 1e-10))
+                psnr = -10 * np.log10(max(float(img_loss), 1e-10))
                 logger.info("nerf step %d/%d loss %.5f psnr %.2f",
                             step, steps, float(loss), psnr)
-        return params, -10 * np.log10(max(float(loss), 1e-10))
+        return params, -10 * np.log10(max(float(img_loss), 1e-10))

@@ -43,6 +43,12 @@ def parse_args(argv=None):
     p.add_argument("--lr", default=5e-4, type=float)
     p.add_argument("--ray_batch", default=4096, type=int)
     p.add_argument("--n_samples", default=64, type=int)
+    p.add_argument("--n_importance", default=64, type=int,
+                   help="fine samples/ray; 0 disables the hierarchical path "
+                        "(reference: run_nerf.py --N_importance)")
+    p.add_argument("--depth_loss_weight", default=0.0, type=float,
+                   help="Gaussian-NLL depth supervision weight "
+                        "(reference: run_nerf.py --depth_loss_weight)")
     p.add_argument("--near", default=0.1, type=float)
     p.add_argument("--far", default=10.0, type=float)
     p.add_argument("--max_res", default=160, type=int)
@@ -113,7 +119,9 @@ def main(argv=None):
     scene_scale = float(np.abs(np.concatenate([bbox_min, bbox_max])).max())
 
     trainer = NeRFTrainer(
-        near=args.near, far=args.far, n_samples=args.n_samples, lr=args.lr,
+        near=args.near, far=args.far, n_samples=args.n_samples,
+        n_importance=args.n_importance,
+        depth_loss_weight=args.depth_loss_weight, lr=args.lr,
         ray_batch=args.ray_batch, scene_scale=scene_scale,
         white_bkgd=args.white_bkgd,
     )
@@ -137,8 +145,8 @@ def main(argv=None):
 
     if args.task in ("extract", "train_extract"):
         out = extract_rgbsigma_grid(
-            params, trainer._apply, bbox_min, bbox_max, poses,
-            max_res=args.max_res,
+            trainer.fine_params(params), trainer._apply, bbox_min, bbox_max,
+            poses, max_res=args.max_res,
         )
         os.makedirs(args.extract_dir, exist_ok=True)
         path = os.path.join(args.extract_dir, f"{args.scene_id}.npz")

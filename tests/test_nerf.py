@@ -8,7 +8,13 @@ import pytest
 
 from nerf_mae_tpu.nerf.extract import extract_rgbsigma_grid
 from nerf_mae_tpu.nerf.model import NeRFMLP, positional_encoding
-from nerf_mae_tpu.nerf.render import get_rays, render_rays
+from nerf_mae_tpu.nerf.render import (
+    depth_nll_loss,
+    get_rays,
+    render_rays,
+    render_rays_hierarchical,
+    sample_pdf,
+)
 from nerf_mae_tpu.nerf.train import NeRFTrainer
 
 
@@ -113,7 +119,7 @@ class TestFitAndExtract:
         eyes = [(2, 0, 0), (0, 2, 0)]
         poses = np.stack([look_at(e) for e in eyes])
         out = extract_rgbsigma_grid(
-            params, trainer._apply,
+            trainer.fine_params(params), trainer._apply,
             bbox_min=np.array([-1.0, -1, -0.5]),
             bbox_max=np.array([1.0, 1, 0.5]),
             train_poses=poses, max_res=16, chunk=2048,
@@ -125,3 +131,76 @@ class TestFitAndExtract:
         assert g[8, 8, 4, 3] > g[0, 0, 0, 3] + 1.0
         # learned color is red-ish at the center
         assert g[8, 8, 4, 0] > g[8, 8, 4, 1]
+
+
+class TestHierarchical:
+    def test_sample_pdf_concentrates_on_heavy_bins(self):
+        bins = jnp.linspace(0.0, 1.0, 9)[None].repeat(2, axis=0)  # 8 bins
+        w = np.zeros((2, 8), np.float32)
+        w[:, 4] = 1.0  # all mass in bin [0.5, 0.625)
+        t = np.asarray(sample_pdf(bins, jnp.asarray(w), 32))
+        assert ((t >= 0.45) & (t <= 0.65)).mean() > 0.9
+        # stochastic draw stays in-range and sorted input -> in [0, 1]
+        t2 = np.asarray(
+            sample_pdf(bins, jnp.asarray(w), 32, jax.random.PRNGKey(0))
+        )
+        assert t2.min() >= 0.0 and t2.max() <= 1.0
+
+    def test_hierarchical_matches_analytic_scene(self):
+        o = jnp.array([[0.0, 0, 2.0]])
+        d = jnp.array([[0.0, 0, -1.0]])
+        out = render_rays_hierarchical(
+            None, None, analytic_apply, o, d, 0.5, 4.0, 32, 64,
+        )
+        # fine pass refines the surface estimate vs a 32-sample coarse pass
+        assert abs(float(out["depth"][0]) - 1.5) < 0.05
+        assert float(out["acc"][0]) > 0.99
+        assert out["rgb0"].shape == (1, 3)  # coarse outputs exposed
+
+    def test_hierarchical_fit_trains_both_networks(self):
+        h = w = 8
+        focal = 8.0
+        poses = np.stack([look_at((2, 0, 0)), look_at((0, 2, 0))])
+        images = np.full((2, h, w, 3), 0.5, np.float32)
+        trainer = NeRFTrainer(
+            near=0.5, far=4.0, n_samples=16, n_importance=8, ray_batch=64,
+            lr=1e-3,
+            model=NeRFMLP(depth=2, width=16, skip_at=1, pos_freqs=3,
+                          dir_freqs=2),
+        )
+        params, _ = trainer.fit(images, poses, focal, steps=3, log_every=10)
+        assert "fine" in params and "coarse" in params
+        assert trainer.fine_params(params) is params["fine"]
+
+    def test_depth_nll_loss(self):
+        z = jnp.linspace(0.5, 4.0, 16)[None].repeat(3, axis=0)
+        w = jnp.ones((3, 16)) / 16.0
+        depth = (w * z).sum(axis=1)
+        target = depth + jnp.array([0.0, 1.0, 0.0])
+        valid = jnp.array([True, True, False])
+        l_exact = depth_nll_loss(depth, z, w, depth, valid)
+        l_off = depth_nll_loss(depth, z, w, target, valid)
+        assert float(l_off) > float(l_exact)
+        # invalid-only -> zero contribution, no nan
+        l_none = depth_nll_loss(depth, z, w, target, jnp.zeros(3, bool))
+        assert float(l_none) == 0.0
+
+    def test_depth_supervision_improves_depth(self):
+        # one wall at z = -1.5 from the camera; rgb is uniform so only the
+        # depth prior can localize it
+        h = w = 8
+        focal = 8.0
+        poses = np.stack([look_at((0, 2.0, 0))])
+        images = np.full((1, h, w, 3), 0.5, np.float32)
+        depths = np.full((1, h, w), 3.5, np.float32)
+        kw = dict(near=0.5, far=6.0, n_samples=24, ray_batch=64, lr=2e-3,
+                  model=NeRFMLP(depth=2, width=24, skip_at=1, pos_freqs=4,
+                                dir_freqs=2))
+        t_d = NeRFTrainer(depth_loss_weight=1.0, **kw)
+        p_d, _ = t_d.fit(images, poses, focal, steps=150, log_every=200,
+                         depths=depths)
+        o = jnp.array([[0.0, 2.0, 0.0]])
+        d = jnp.array([[0.0, -1.0, 0.0]])
+        out = t_d.render_chunk(p_d, o, d)
+        err_d = abs(float(out["depth"][0]) - 3.5)
+        assert err_d < 0.6, err_d
