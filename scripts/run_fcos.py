@@ -63,18 +63,25 @@ def parse_args(argv=None):
 
 def build_datasets(args):
     if args.dataset == "synthetic":
-        scenes = synthetic_detection_scenes(
-            args.n_synthetic, args.resolution, args.seed, obb=args.rotated_bbox
-        )
-
         class _DS:
+            def __init__(self, scenes):
+                self.scenes = scenes
+
             def __len__(self):
-                return len(scenes)
+                return len(self.scenes)
 
             def __getitem__(self, i):
-                return scenes[i]
+                return self.scenes[i]
 
-        return _DS(), _DS()
+        # disjoint val draw (seed offset) so eval measures generalization
+        return (
+            _DS(synthetic_detection_scenes(
+                args.n_synthetic, args.resolution, args.seed,
+                obb=args.rotated_bbox)),
+            _DS(synthetic_detection_scenes(
+                max(args.n_synthetic // 4, 4), args.resolution,
+                args.seed + 10_000, obb=args.rotated_bbox)),
+        )
     split = load_split(args.dataset_split) if args.dataset_split else {}
     mk = lambda scene_list, aug: SceneDataset(
         args.features_path,

@@ -83,16 +83,23 @@ def parse_args(argv=None):
 
 def build_datasets(args):
     if args.dataset == "synthetic":
-        scenes = synthetic_scenes(args.n_synthetic, args.resolution, args.seed)
-
         class _Synth:
+            def __init__(self, scenes):
+                self.scenes = scenes
+
             def __len__(self):
-                return len(scenes)
+                return len(self.scenes)
 
             def __getitem__(self, i):
-                return {"rgbsigma": scenes[i]}
+                return {"rgbsigma": self.scenes[i]}
 
-        return _Synth(), _Synth()
+        # disjoint val draw (seed offset) so eval PSNR measures generalization
+        return (
+            _Synth(synthetic_scenes(args.n_synthetic, args.resolution,
+                                    args.seed)),
+            _Synth(synthetic_scenes(max(args.n_synthetic // 4, 2),
+                                    args.resolution, args.seed + 10_000)),
+        )
     split = load_split(args.dataset_split) if args.dataset_split else {}
     train = SceneDataset(
         args.features_path,

@@ -60,3 +60,51 @@ class TestVoxelize:
         boxes = boxes_from_instance_labels(vox, min_voxels=4)
         assert boxes.shape == (1, 6)
         np.testing.assert_array_equal(boxes[0], [2, 3, 1, 5, 7, 4])
+
+
+class TestOpenGLConvention:
+    """The Front3D/HM3D BlenderProc camera math
+    (reference: front3d_depth2pc.py:208-221, hm3d_depth2pc.py:254-267)."""
+
+    def _ref_depth2pc(self, depth, fx, fy, cx, cy, c2w):
+        # literal transcription of the reference's loop for the oracle
+        H, W = depth.shape
+        x = np.linspace(0, H - 1, H, endpoint=True)
+        y = np.linspace(0, W - 1, W, endpoint=True)
+        j, i = np.meshgrid(x, y, indexing="ij")
+        c_x = (i + 0.5 - cx) / fx * depth
+        c_y = (H - j - 0.5 - cy) / fy * depth
+        c_z = -depth
+        c = np.stack([c_x, c_y, c_z], -1).reshape(-1, 3)
+        w_coord = (c2w[:3, :3] @ c.T + c2w[:3, 3][:, None]).T
+        valid = (depth.reshape(-1) > 0) & (depth.reshape(-1) < 15)
+        return w_coord[valid]
+
+    def test_matches_reference_math(self):
+        rs = np.random.RandomState(0)
+        depth = rs.uniform(0.5, 20.0, (6, 8)).astype(np.float32)
+        fx, fy, cx, cy = 10.0, 11.0, 4.0, 3.0
+        k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        c2w = np.eye(4)
+        c2w[:3, :3] = np.array(
+            [[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32
+        )
+        c2w[:3, 3] = [1.0, -2.0, 3.0]
+        ref = self._ref_depth2pc(depth, fx, fy, cx, cy, c2w)
+        pts, _ = depth_to_pointcloud(depth, k, c2w, max_depth=15.0,
+                                     convention="opengl")
+        np.testing.assert_allclose(np.sort(pts, 0), np.sort(ref, 0),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_depth2pc_scene_accumulates_and_subsamples(self):
+        from nerf_mae_tpu.data.voxelize import depth2pc_scene
+
+        depth = np.full((4, 4), 2.0, np.float32)
+        mask = np.zeros((4, 4), np.int32)
+        mask[:, 2:] = 7
+        k = np.array([[4.0, 0, 2], [0, 4.0, 2], [0, 0, 1]])
+        out = depth2pc_scene([depth, depth], [mask, mask],
+                             [np.eye(4), np.eye(4)], k, points_per_obj=10)
+        assert set(out) == {0, 7}
+        assert out[7].shape == (10, 3)  # 16 accumulated -> subsampled
+        assert out[0].shape[1] == 3
