@@ -42,9 +42,21 @@ def data_parallel_shardings(mesh: Mesh, axis: str = "data"):
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a pytree of [B, ...] arrays with B sharded over the mesh."""
+    """Place a pytree of [B, ...] arrays with B sharded over the mesh.
+
+    Single-process: a plain device_put. Multi-process (multi-host TPU pods,
+    jax.distributed.initialize already called): each process passes its
+    *local* per-host batch and the pieces are assembled into one global
+    array — the jax-native analogue of the reference's DistributedSampler
+    feeding each DDP rank its slice (reference: run_swin_mae3d.py:578-586).
+    """
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
 
 
 def replicate(tree, mesh: Mesh):
