@@ -23,6 +23,8 @@ from nerf_mae_tpu.ops.rotated_iou import (
     rect_intersection_area_2d,
 )
 
+pytestmark = pytest.mark.quick
+
 
 def mc_iou_3d(b1, b2, n=200_000, seed=0):
     """Monte-Carlo rotated-box IoU oracle (numpy, independent of the impl)."""

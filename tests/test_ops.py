@@ -22,6 +22,8 @@ from nerf_mae_tpu.ops import (
     window_unpartition_3d,
 )
 
+pytestmark = pytest.mark.quick
+
 
 class TestPosEmbed:
     def test_shape_and_finite(self):

@@ -15,7 +15,7 @@ from nerf_mae_tpu.ops.pallas_block import (
     fused_swin_block,
 )
 
-pytestmark = pytest.mark.quick
+pytestmark = pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
 
 
 def _params(key, c, heads, hidden, table):

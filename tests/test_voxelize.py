@@ -2,12 +2,15 @@
 instance boxes."""
 
 import numpy as np
+import pytest
 
 from nerf_mae_tpu.data.voxelize import (
     boxes_from_instance_labels,
     depth_to_pointcloud,
     voxelize_labels,
 )
+
+pytestmark = pytest.mark.quick
 
 
 class TestDepthToPointcloud:
