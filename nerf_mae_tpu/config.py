@@ -98,8 +98,10 @@ class MAEConfig:
     # Per-encoder-stage remat override (tuple of bools, one per stage), or
     # None = `remat` everywhere. Late stages (10^3/5^3 token grids) have tiny
     # activations — skipping their remat saves a full forward recompute in
-    # the backward pass for almost no HBM cost.
-    remat_stages: Optional[Tuple[bool, ...]] = None
+    # the backward pass for almost no HBM cost (~29 ms/step on swin_b@160^3;
+    # PERF.md). Fused-block stages additionally self-skip remat regardless
+    # of this setting (their custom_vjp already recomputes in-kernel).
+    remat_stages: Optional[Tuple[bool, ...]] = (True, True, False, False)
     # Final reconstruction stage:
     #   "subpixel" (TPU-native default): heavy convs stay at the token grid
     #     (40^3), voxels emitted via a depth-to-space projection — removes

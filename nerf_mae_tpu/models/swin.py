@@ -308,8 +308,9 @@ class SwinEncoder3D(nn.Module):
         remat_stages = self.remat_stages
         if remat_stages is None:
             remat_stages = tuple(self.remat for _ in cfg.depths)
+        from nerf_mae_tpu.ops.pallas_block import fused_block_supported
+
         for i_stage, depth in enumerate(cfg.depths):
-            block_cls = remat_block_cls if remat_stages[i_stage] else SwinBlock3D
             dim = cfg.stage_dims[i_stage]
             if i_stage > 0:
                 x = PatchMerging3D(
@@ -319,6 +320,26 @@ class SwinEncoder3D(nn.Module):
                     dtype=self.dtype,
                     name=f"merge{i_stage}",
                 )(x)
+            # The fused whole-block kernel is its own rematerializer: its
+            # custom_vjp saves only (x, params) and recomputes the forward
+            # inside the backward kernel. Wrapping such a stage in
+            # jax.checkpoint saves nothing and costs one extra forward pass
+            # per block — skip remat wherever the fused kernel will run.
+            stage_fused = (
+                cfg.attention_impl != "xla"
+                and cfg.gelu == "tanh"
+                and jax.default_backend() == "tpu"
+                and fused_block_supported(
+                    (x.shape[0], x.shape[1], x.shape[2], x.shape[3], dim),
+                    tuple(cfg.window_size), cfg.num_heads[i_stage],
+                    cfg.mlp_ratio,
+                )
+            )
+            block_cls = (
+                remat_block_cls
+                if remat_stages[i_stage] and not stage_fused
+                else SwinBlock3D
+            )
             for i_layer in range(depth):
                 sd = cfg.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
                 shift = tuple(

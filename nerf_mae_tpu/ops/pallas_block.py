@@ -9,10 +9,17 @@ This kernel reads the residual stream once, keeps LN statistics, qkv,
 attention, and both MLP matmuls in VMEM, and writes the residual stream
 once: ~2 HBM passes per block instead of ~10.
 
-The backward kernel recomputes the forward in VMEM (the train step already
-runs full-recompute remat, so this loses nothing) and accumulates all
+The backward kernel recomputes the forward in VMEM and accumulates all
 parameter gradients across the sequential TPU grid into constant-index
-output blocks, exactly like ops/pallas_attention.py's backward.
+output blocks, exactly like ops/pallas_attention.py's backward. Because the
+custom_vjp saves only (x, params) and recomputes in-kernel, the block is its
+own rematerializer — SwinEncoder3D skips jax.checkpoint on fused stages
+(wrapping one would pay an extra forward for zero memory gain).
+
+The forward and backward kernels pick window-group sizes independently
+(_pick_group_block): the backward is bound by VMEM-resident f32 weight-grad
+accumulators (wp <= 8), while the forward has none and runs much larger
+groups (wp <= 25) to amortize per-program overhead.
 
 Scope / fallbacks:
   * channel count C <= 256: the f32 weight-gradient accumulators for
@@ -94,14 +101,33 @@ def _bwd_vmem_estimate(wp: int, n: int, c: int, hidden: int,
     return weights + accums + inter + blocks
 
 
+def _fwd_vmem_estimate(wp: int, n: int, c: int, hidden: int,
+                       num_heads: int) -> int:
+    """Scoped-VMEM bytes for the forward kernel: no grad accumulators, so a
+    much larger window group amortizes per-program overhead (the early
+    stages are overhead-bound: ~1000 programs of ~0.4 GFLOP each)."""
+    weights = 2 * 2 * (4 * c * c + 2 * c * hidden)  # bf16, double-buffered
+    inter = wp * n * (3 * c + c + 2 * hidden) * 4  # qkv/o/f1/g f32
+    blocks = 2 * 2 * wp * n * c * 2  # x/out bf16, double-buffered
+    return weights + inter + blocks + num_heads * n * n * 4
+
+
 def _pick_group_block(n_windows: int, num_heads: int, n: int, c: int,
-                      hidden: int) -> int:
-    """Windows per program: big-enough MXU matmuls, bounded VMEM (the
-    backward kernel is the binding constraint — see _bwd_vmem_estimate)."""
-    for wp in (8, 5, 4, 3, 2):
-        if (n_windows % wp == 0 and wp * num_heads <= 64
-                and _bwd_vmem_estimate(wp, n, c, hidden, num_heads)
-                <= (12 << 20)):
+                      hidden: int, mode: str = "bwd") -> int:
+    """Windows per program: big-enough MXU matmuls, bounded VMEM. The
+    backward kernel's resident grad accumulators bind it to small groups;
+    the forward kernel has no accumulators and runs much larger ones
+    (the early stages are overhead-bound: ~1000 programs of ~0.4 GFLOP at
+    wp=8). wp must divide the per-sample window count so the shift-mask
+    block stays contiguous; wp*heads is capped to bound kernel unrolling."""
+    estimate = _bwd_vmem_estimate if mode == "bwd" else _fwd_vmem_estimate
+    candidates = (
+        (8, 5, 4, 3, 2) if mode == "bwd" else (25, 20, 16, 10, 8, 5, 4, 3, 2)
+    )
+    cap = 64 if mode == "bwd" else 128
+    for wp in candidates:
+        if (n_windows % wp == 0 and wp * num_heads <= cap
+                and estimate(wp, n, c, hidden, num_heads) <= (12 << 20)):
             return wp
     return 1
 
@@ -473,7 +499,7 @@ def fused_swin_block(
      eff_shift) = _prep(x, keep_attn, keep_mlp, bias_table, window, shift)
     has_shift = shift_m is not None
 
-    wp = _pick_group_block(n_windows, num_heads, n, c, f)
+    wp = _pick_group_block(n_windows, num_heads, n, c, f, mode="fwd")
     grid = (b * n_windows // wp,)
     kernel = functools.partial(
         _fused_block_kernel, num_heads=num_heads, has_shift=has_shift,
