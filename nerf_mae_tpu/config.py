@@ -92,6 +92,11 @@ class MAEConfig:
     per_sample_mask: bool = True
     compute_dtype: str = "bfloat16"  # dtype for matmuls/convs; params stay fp32
     remat: bool = True  # jax.checkpoint each Swin stage + decoder block
+    # Remat the UNETR decoder blocks too. Off by default: with the subpixel
+    # head the decoder activations fit comfortably at batch 8, and the
+    # recompute costs a full decoder forward (~26 ms/step on swin_b@160^3).
+    # Turn on to trade that time back for HBM (e.g. decoder_type="unetr").
+    decoder_remat: bool = False
     # remat policy: "nothing" recomputes everything (min memory);
     # "dots" saves matmul/conv outputs (less recompute, more HBM)
     remat_policy: str = "nothing"

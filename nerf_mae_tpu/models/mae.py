@@ -58,14 +58,15 @@ class SwinMAE3D(nn.Module):
                                      remat_policy=cfg.remat_policy,
                                      remat_stages=cfg.remat_stages)
         # UNETR decode with skip connections from every encoder stage
-        # (reference: swin_mae3d.py:1224-1257, 1486-1495). The full-res
-        # decoder activations dominate HBM at 160^3 — remat each block.
+        # (reference: swin_mae3d.py:1224-1257, 1486-1495). decoder_remat
+        # trades a decoder-forward recompute for HBM (needed for the
+        # reference-style unetr decoder's full-res activations).
         policy = (
             jax.checkpoint_policies.dots_saveable
             if cfg.remat_policy == "dots" else None
         )
         up_cls = (
-            nn.remat(UnetrUpBlock3D, policy=policy) if cfg.remat
+            nn.remat(UnetrUpBlock3D, policy=policy) if cfg.decoder_remat
             else UnetrUpBlock3D
         )
         e = cfg.swin.embed_dim
@@ -74,7 +75,7 @@ class SwinMAE3D(nn.Module):
         self.decoder2 = up_cls(e * 1, dtype=dtype)
         if cfg.decoder_type == "subpixel":
             head_cls = (
-                nn.remat(SubpixelHead3D, policy=policy) if cfg.remat
+                nn.remat(SubpixelHead3D, policy=policy) if cfg.decoder_remat
                 else SubpixelHead3D
             )
             self.subpixel_head = head_cls(

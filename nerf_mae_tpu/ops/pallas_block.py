@@ -122,7 +122,8 @@ def _pick_group_block(n_windows: int, num_heads: int, n: int, c: int,
     block stays contiguous; wp*heads is capped to bound kernel unrolling."""
     estimate = _bwd_vmem_estimate if mode == "bwd" else _fwd_vmem_estimate
     candidates = (
-        (8, 5, 4, 3, 2) if mode == "bwd" else (25, 20, 16, 10, 8, 5, 4, 3, 2)
+        (10, 8, 5, 4, 3, 2) if mode == "bwd"
+        else (25, 20, 16, 10, 8, 5, 4, 3, 2)
     )
     cap = 64 if mode == "bwd" else 128
     for wp in candidates:
