@@ -22,13 +22,17 @@ accumulators (wp <= 8), while the forward has none and runs much larger
 groups (wp <= 25) to amortize per-program overhead.
 
 Scope / fallbacks:
-  * channel count C <= 256: the f32 weight-gradient accumulators for
-    qkv/proj/fc1/fc2 must stay resident in VMEM; at C=512 they alone are
-    ~12 MB. Larger stages use the attention-only fused kernel.
-  * grid divisible by the window in all three dims: the XLA path applies
-    LN *before* zero-padding to window multiples, so padded tokens attend
-    as exact zeros; fusing LN inside would feed them LN(0)=bias instead.
-    Non-divisible grids (10^3/5^3 stages) take the attention-only path.
+  * channel count C <= 512: the f32 weight-gradient accumulators for
+    qkv/proj/fc1/fc2 must stay resident in VMEM (~12.6 MB at C=512, ~50 MB
+    at C=1024). The C=1024 stage uses the attention-only fused kernel.
+  * non-divisible grids are zero-padded to window multiples (10^3 -> 12^3
+    at stage 2). The XLA path applies LN *before* zero-padding, so padded
+    tokens enter attention as exact zeros (keys/values = qkv_bias); to
+    reproduce that with LN fused inside, the kernel multiplies the post-LN
+    rows by a per-window validity mask (pad_mask), which zeroes the
+    LN(0)=bias rows — bitwise the same attention inputs as the XLA path.
+    The backward applies the identical mask to dh1, which is exactly the
+    vjp of the zero-pad (crop).
 
 Droppath (stochastic depth) enters as two per-sample keep factors
 (already scaled by 1/(1-rate)) broadcast per window and read from SMEM.
@@ -37,6 +41,7 @@ Droppath (stochastic depth) enters as two per-sample keep factors
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -122,23 +127,53 @@ def _pick_group_block(n_windows: int, num_heads: int, n: int, c: int,
     block stays contiguous; wp*heads is capped to bound kernel unrolling."""
     estimate = _bwd_vmem_estimate if mode == "bwd" else _fwd_vmem_estimate
     candidates = (
-        (10, 8, 5, 4, 3, 2) if mode == "bwd"
-        else (25, 20, 16, 10, 8, 5, 4, 3, 2)
+        (10, 9, 8, 5, 4, 3, 2) if mode == "bwd"
+        else (25, 20, 16, 10, 9, 8, 5, 4, 3, 2)
     )
     cap = 64 if mode == "bwd" else 128
+    # the 12 MB scoped-VMEM budget is v5e-calibrated at C<=256; the C=512
+    # stage carries ~13 MB of resident accumulators alone and still fits
+    # comfortably in the 128 MB VMEM at small wp
+    budget = (12 << 20) if c <= 256 else (40 << 20)
     for wp in candidates:
         if (n_windows % wp == 0 and wp * num_heads <= cap
-                and estimate(wp, n, c, hidden, num_heads) <= (12 << 20)):
+                and estimate(wp, n, c, hidden, num_heads) <= budget):
             return wp
     return 1
 
 
+# Routes C in (256, 512] and padded (non-divisible) grids through the
+# fused block kernel. Numerics are pinned vs XLA in tests; flipped on once
+# Mosaic-validated on real TPU (kernel code is shape-generic, but large-C
+# VMEM budgets are empirical — see _pick_group_block).
+LARGE_C_ENABLED = os.environ.get("NERF_MAE_FUSED_BLOCK_LARGE_C", "0") == "1"
+
+
 def fused_block_supported(shape, window, num_heads, mlp_ratio) -> bool:
-    """True when the full-block kernel handles this stage (see module doc)."""
+    """True when the full-block kernel handles this stage (see module doc).
+    Non-divisible grids are padded (pad_mask); only C binds."""
     b, g0, g1, g2, c = shape
     n = window[0] * window[1] * window[2]
+    if n % 8 != 0 or c % 8 != 0:
+        return False
+    if LARGE_C_ENABLED:
+        return c <= 512
     divisible = all((g0, g1, g2)[i] % window[i] == 0 for i in range(3))
-    return divisible and n % 8 == 0 and c % 8 == 0 and c <= 256
+    return divisible and c <= 256
+
+
+@functools.lru_cache(maxsize=64)
+def _pad_row_mask(padded, orig, window, shift):
+    """[nW, N] f32 validity mask of the padded+rolled grid: 1 for tokens
+    inside the original extent, 0 for zero-pad rows. Static numpy."""
+    v = np.zeros(padded, np.float32)
+    v[: orig[0], : orig[1], : orig[2]] = 1.0
+    if sum(shift) > 0:
+        v = np.roll(v, (-shift[0], -shift[1], -shift[2]), axis=(0, 1, 2))
+    nh, nw, nd = (padded[i] // window[i] for i in range(3))
+    v = v.reshape(nh, window[0], nw, window[1], nd, window[2])
+    v = v.transpose(0, 2, 4, 1, 3, 5).reshape(nh * nw * nd, -1)
+    return v
 
 
 def _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c, num_heads,
@@ -181,13 +216,20 @@ def _fused_block_kernel(
     fc2_w_ref,  # [F, C]
     fc2_b_ref,  # [1, C] f32
     rel_bias_ref,  # [heads, N, N] f32, constant-index (VMEM-resident)
-    *rest,  # optional shift_mask_ref [WP, N, N]; then out_ref [WP, N, C]
+    *rest,  # optional pad_mask_ref [WP, N]; optional shift_mask_ref
+    # [WP, N, N]; then out_ref [WP, N, C]
     num_heads: int,
     has_shift: bool,
+    has_pad: bool,
     eps: float,
     n_windows: int,
 ):
-    shift_mask_ref = rest[0] if has_shift else None
+    idx = 0
+    pad_mask_ref = None
+    if has_pad:
+        pad_mask_ref = rest[idx]
+        idx += 1
+    shift_mask_ref = rest[idx] if has_shift else None
     out_ref = rest[-1]
     wp, n, c = x_ref.shape
     d = x_ref.dtype
@@ -197,6 +239,10 @@ def _fused_block_kernel(
     xf = x.astype(jnp.float32)
     h1, _, _ = _ln_fwd(xf, ln1_s_ref[...], ln1_b_ref[...], eps)
     h1 = h1.astype(d)
+    if has_pad:
+        # zero the LN(0)=bias rows at padded sites so keys/values reduce
+        # to qkv_bias exactly like the XLA LN-before-pad path
+        h1 = h1 * pad_mask_ref[...].reshape(wp * n, 1).astype(d)
 
     qkv = (
         jnp.dot(h1, qkv_w_ref[...], preferred_element_type=jnp.float32)
@@ -256,18 +302,25 @@ def _fused_block_bwd_kernel(
     fc2_w_ref, fc2_b_ref,
     rel_bias_ref,
     *rest,
-    # rest = optional shift_mask_ref; dy_ref [WP, N, C]; then out refs:
+    # rest = optional pad_mask_ref [WP, N]; optional shift_mask_ref;
+    # dy_ref [WP, N, C]; then out refs:
     # dx [WP,N,C]; accumulated dln1_s [1,C], dln1_b [1,C], dqkv_w [C,3C],
     # dqkv_b [1,3C], dproj_w [C,C], dproj_b [1,C], dln2_s, dln2_b,
     # dfc1_w [C,F], dfc1_b [1,F], dfc2_w [F,C], dfc2_b [1,C],
     # dlogit [heads,N,N]
     num_heads: int,
     has_shift: bool,
+    has_pad: bool,
     eps: float,
     n_windows: int,
 ):
-    shift_mask_ref = rest[0] if has_shift else None
-    dy_ref = rest[1] if has_shift else rest[0]
+    idx = 0
+    pad_mask_ref = None
+    if has_pad:
+        pad_mask_ref = rest[idx]
+        idx += 1
+    shift_mask_ref = rest[idx] if has_shift else None
+    dy_ref = rest[idx + 1] if has_shift else rest[idx]
     (dx_ref, dln1_s_ref, dln1_b_ref, dqkv_w_ref, dqkv_b_ref, dproj_w_ref,
      dproj_b_ref, dln2_s_ref, dln2_b_ref, dfc1_w_ref, dfc1_b_ref,
      dfc2_w_ref, dfc2_b_ref, dlogit_ref) = rest[-14:]
@@ -289,6 +342,10 @@ def _fused_block_bwd_kernel(
     xf = x.astype(jnp.float32)
     h1f, xhat1, inv1 = _ln_fwd(xf, ln1_s_ref[...], ln1_b_ref[...], eps)
     h1 = h1f.astype(d)
+    pm = None
+    if has_pad:
+        pm = pad_mask_ref[...].reshape(wp * n, 1)
+        h1 = h1 * pm.astype(d)
     qkv = (
         jnp.dot(h1, qkv_w_ref[...], preferred_element_type=jnp.float32)
         + qkv_b_ref[...]
@@ -408,6 +465,9 @@ def _fused_block_bwd_kernel(
         dqkv.astype(d), qkv_w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if has_pad:
+        # vjp of the h1 row-mask (== vjp of the XLA path's zero-pad crop)
+        dh1 = dh1 * pm
     dln1_s_ref[...] += jnp.sum(dh1 * xhat1, axis=0, keepdims=True)
     dln1_b_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
     dx = dx1 + _ln_bwd_input(dh1, xhat1, inv1, ln1_s_ref[...])
@@ -415,11 +475,18 @@ def _fused_block_bwd_kernel(
 
 
 def _prep(x, keep_attn, keep_mlp, bias_table, window, shift):
-    """Shared fwd/bwd staging: roll, partition, keep/bias/mask tensors."""
+    """Shared fwd/bwd staging: pad, roll, partition, keep/bias/mask
+    tensors. Pad-then-roll matches the XLA path's ordering
+    (window_attention_3d)."""
     b, g0, g1, g2, c = x.shape
-    shift = tuple(0 if window[i] >= (g0, g1, g2)[i] else shift[i]
-                  for i in range(3))
+    pad = tuple((window[i] - (g0, g1, g2)[i] % window[i]) % window[i]
+                for i in range(3))
+    ph = (g0 + pad[0], g1 + pad[1], g2 + pad[2])
+    shift = tuple(0 if window[i] >= ph[i] else shift[i] for i in range(3))
     h = x
+    if any(pad):
+        h = jnp.pad(h, ((0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]),
+                        (0, 0)))
     if sum(shift) > 0:
         h = jnp.roll(h, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
     xw, counts = window_partition_3d(h, window)  # [B, nW, N, C]
@@ -434,9 +501,13 @@ def _prep(x, keep_attn, keep_mlp, bias_table, window, shift):
         axis=-1,
     )
     rel_bias, shift_m = _rel_bias_and_shift_mask(
-        bias_table, window, (g0, g1, g2), shift
+        bias_table, window, ph, shift
     )
-    return xw, counts, n_windows, n, keep2, rel_bias, shift_m, shift
+    pad_m = (
+        jnp.asarray(_pad_row_mask(ph, (g0, g1, g2), tuple(window), shift))
+        if any(pad) else None
+    )
+    return xw, counts, n_windows, n, keep2, rel_bias, shift_m, pad_m, shift, pad
 
 
 def _block_specs(wp, n, c, f, num_heads, n_windows):
@@ -496,21 +567,30 @@ def fused_swin_block(
     b, g0, g1, g2, c = x.shape
     d = x.dtype
     f = fc1_kernel.shape[-1]
-    (xw, counts, n_windows, n, keep2, rel_bias, shift_m,
-     eff_shift) = _prep(x, keep_attn, keep_mlp, bias_table, window, shift)
+    (xw, counts, n_windows, n, keep2, rel_bias, shift_m, pad_m,
+     eff_shift, pad) = _prep(x, keep_attn, keep_mlp, bias_table, window,
+                             shift)
     has_shift = shift_m is not None
+    has_pad = pad_m is not None
 
     wp = _pick_group_block(n_windows, num_heads, n, c, f, mode="fwd")
     grid = (b * n_windows // wp,)
     kernel = functools.partial(
         _fused_block_kernel, num_heads=num_heads, has_shift=has_shift,
-        eps=eps, n_windows=n_windows,
+        has_pad=has_pad, eps=eps, n_windows=n_windows,
     )
     in_specs = _block_specs(wp, n, c, f, num_heads, n_windows)
     operands = _operands(xw, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
                          proj_kernel, proj_bias, ln2_scale, ln2_bias,
                          fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
                          rel_bias, d)
+    if has_pad:
+        in_specs.append(pl.BlockSpec(
+            (wp, n),
+            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(pad_m)
     if has_shift:
         in_specs.append(pl.BlockSpec(
             (wp, n, n),
@@ -535,6 +615,8 @@ def fused_swin_block(
     )
     if sum(eff_shift) > 0:
         out = jnp.roll(out, eff_shift, axis=(1, 2, 3))
+    if any(pad):
+        out = out[:, :g0, :g1, :g2, :]
     return out
 
 
@@ -560,11 +642,16 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
     b, g0, g1, g2, c = x.shape
     d = x.dtype
     f = fc1_kernel.shape[-1]
-    (xw, counts, n_windows, n, keep2, rel_bias, shift_m,
-     eff_shift) = _prep(x, keep_attn, keep_mlp, bias_table, window, shift)
+    (xw, counts, n_windows, n, keep2, rel_bias, shift_m, pad_m,
+     eff_shift, pad) = _prep(x, keep_attn, keep_mlp, bias_table, window,
+                             shift)
     has_shift = shift_m is not None
+    has_pad = pad_m is not None
 
     gy = g
+    if any(pad):
+        gy = jnp.pad(gy, ((0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]),
+                          (0, 0)))
     if sum(eff_shift) > 0:
         gy = jnp.roll(
             gy, (-eff_shift[0], -eff_shift[1], -eff_shift[2]), axis=(1, 2, 3)
@@ -576,13 +663,20 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
     grid = (b * n_windows // wp,)
     kernel = functools.partial(
         _fused_block_bwd_kernel, num_heads=num_heads, has_shift=has_shift,
-        eps=eps, n_windows=n_windows,
+        has_pad=has_pad, eps=eps, n_windows=n_windows,
     )
     in_specs = _block_specs(wp, n, c, f, num_heads, n_windows)
     operands = _operands(xw, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
                          proj_kernel, proj_bias, ln2_scale, ln2_bias,
                          fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
                          rel_bias, d)
+    if has_pad:
+        in_specs.append(pl.BlockSpec(
+            (wp, n),
+            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(pad_m)
     if has_shift:
         in_specs.append(pl.BlockSpec(
             (wp, n, n),
@@ -642,6 +736,8 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
     )
     if sum(eff_shift) > 0:
         dx = jnp.roll(dx, eff_shift, axis=(1, 2, 3))
+    if any(pad):
+        dx = dx[:, :g0, :g1, :g2, :]
 
     rel_idx = relative_position_index_3d(tuple(window))
     dtable = jnp.zeros_like(bias_table)

@@ -119,14 +119,56 @@ def test_fused_block_grads_match_xla(shift):
         )
 
 
-def test_fused_block_supported_predicate():
+def test_fused_block_supported_predicate(monkeypatch):
+    import nerf_mae_tpu.ops.pallas_block as pb
+
     w = (4, 4, 4)
     assert fused_block_supported((1, 8, 8, 8, 128), w, 4, 4.0)
     assert fused_block_supported((1, 40, 40, 40, 256), w, 8, 4.0)
-    # C too large for resident weight-grad accumulators
-    assert not fused_block_supported((1, 8, 8, 8, 512), w, 16, 4.0)
-    # grid not divisible by window (padding would change LN-before-pad math)
+    # C=1024 weight-grad accumulators exceed VMEM either way
+    assert not fused_block_supported((1, 5, 5, 5, 1024), w, 32, 4.0)
+    # large-C mode: the C=512 stage and non-divisible (padded) grids route
+    monkeypatch.setattr(pb, "LARGE_C_ENABLED", True)
+    assert fused_block_supported((1, 10, 10, 10, 512), w, 16, 4.0)
+    assert fused_block_supported((1, 10, 10, 10, 128), w, 4, 4.0)
+    # conservative mode: divisible + C<=256 only
+    monkeypatch.setattr(pb, "LARGE_C_ENABLED", False)
+    assert not fused_block_supported((1, 10, 10, 10, 512), w, 16, 4.0)
     assert not fused_block_supported((1, 10, 10, 10, 128), w, 4, 4.0)
+
+
+@pytest.mark.parametrize("shift", [(0, 0, 0), (2, 2, 2)])
+def test_fused_block_padded_matches_xla(shift):
+    """Non-divisible grid (6^3 with a 4^3 window -> pad to 8^3): the
+    in-kernel pad_mask must reproduce the XLA LN-before-pad semantics,
+    forward AND grads (stage-2 topology at tiny scale)."""
+    window, heads, c, eps = (4, 4, 4), 4, 32, 1e-5
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 6, 6, 6, c), jnp.float32)
+    p = _params(jax.random.PRNGKey(10), c, heads, c * 4, 7 ** 3)
+    w = jax.random.normal(jax.random.PRNGKey(11), x.shape, jnp.float32)
+    ka = jnp.array([1.25, 1.0], jnp.float32)
+    km = jnp.array([1.0, 1.25], jnp.float32)
+
+    got = _fused(x, p, window, shift, heads, eps, ka, km)
+    want = _xla_block(x, p, window, shift, heads, eps, ka, km)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_fused(x, p):
+        return jnp.sum(_fused(x, p, window, shift, heads, eps, ka, km) * w)
+
+    def loss_xla(x, p):
+        return jnp.sum(_xla_block(x, p, window, shift, heads, eps, ka, km) * w)
+
+    gx1, gp1 = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    gx2, gp2 = jax.grad(loss_xla, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-4, atol=2e-4)
+    for k in gp1:
+        np.testing.assert_allclose(
+            np.asarray(gp1[k]), np.asarray(gp2[k]), rtol=2e-4, atol=2e-4,
+            err_msg=f"param grad mismatch: {k}",
+        )
 
 
 def test_module_level_fused_equals_xla():
