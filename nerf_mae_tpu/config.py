@@ -135,6 +135,10 @@ class TrainConfig:
     lr: float = 1e-4
     weight_decay: float = 1e-3
     clip_grad_norm: float = 0.1
+    # Skip (don't apply) updates whose grads contain nan/inf instead of
+    # letting the nan poison every parameter through the global-norm clip
+    # (the torch reference has no such guard and dies the same way).
+    skip_nonfinite_updates: bool = True
     # torch OneCycleLR defaults reproduced by optax.cosine_onecycle_schedule
     onecycle_pct_start: float = 0.3
     onecycle_div_factor: float = 25.0

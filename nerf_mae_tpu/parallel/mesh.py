@@ -41,7 +41,8 @@ def data_parallel_shardings(mesh: Mesh, axis: str = "data"):
     return NamedSharding(mesh, P(axis)), NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+def shard_batch(batch, mesh: Mesh, axis: str = "data",
+                transfer_dtype: Optional[str] = None):
     """Place a pytree of [B, ...] arrays with B sharded over the mesh.
 
     Single-process: a plain device_put. Multi-process (multi-host TPU pods,
@@ -49,7 +50,27 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     *local* per-host batch and the pieces are assembled into one global
     array — the jax-native analogue of the reference's DistributedSampler
     feeding each DDP rank its slice (reference: run_swin_mae3d.py:578-586).
+
+    transfer_dtype ("bfloat16"/"float16") downcasts float32 leaves on the
+    host before the transfer, halving host->device bytes. The models cast
+    inputs to their compute dtype anyway (usually bf16), so training only
+    sees quantized *targets* — negligible against recon-level PSNR, and a
+    2x win when the interconnect (PCIe, or this VM's tunnel) is the
+    bottleneck (PERF.md finding 5).
     """
+    if transfer_dtype and transfer_dtype != "float32":
+        import ml_dtypes
+
+        td = dict(bfloat16=ml_dtypes.bfloat16, float16=np.float16)[transfer_dtype]
+        # only the voxel-grid tensors (ndim >= 4): quantizing small
+        # per-scene metadata (gt boxes, sizes) can make boxes degenerate
+        # (min == max after rounding -> log(0) in delta coders)
+        cast = lambda x: (
+            x.astype(td)
+            if getattr(x, "dtype", None) == np.float32
+            and getattr(x, "ndim", 0) >= 4 else x
+        )
+        batch = jax.tree.map(cast, batch)
     sharding = NamedSharding(mesh, P(axis))
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -24,7 +24,14 @@ def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
 
 def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
     schedule = make_schedule(cfg, total_steps)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.clip_grad_norm),
         optax.adamw(schedule, weight_decay=cfg.weight_decay),
     )
+    if cfg.skip_nonfinite_updates:
+        # torch's clip_grad_norm_ silently propagates a nan total-norm into
+        # every parameter, permanently poisoning the run (reference:
+        # run_fcos_pretrained.py:734 has error_if_nonfinite=False); here a
+        # nonfinite grad skips the step instead and training continues.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx

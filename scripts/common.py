@@ -62,10 +62,14 @@ def add_common_flags(p):
     p.add_argument("--prefetch", default=2, type=int,
                    help="batches kept ready on a background thread "
                         "(0 = synchronous)")
+    p.add_argument("--transfer_dtype", default="float32",
+                   choices=["float32", "bfloat16", "float16"],
+                   help="downcast float batch arrays on the host before "
+                        "the device transfer (halves host->device bytes)")
     return p
 
 
-def overlap_batches(batches, mesh, depth: int):
+def overlap_batches(batches, mesh, depth: int, transfer_dtype: str = None):
     """Wrap a numpy batch iterator so assembly + device_put of batch N+1
     overlap the device step on batch N (reference analogue: DataLoader
     worker processes, nerf_mae/run_swin_mae3d.py:578-586)."""
@@ -74,8 +78,10 @@ def overlap_batches(batches, mesh, depth: int):
 
     if depth > 0:
         return prefetch(batches, depth=depth,
-                        map_fn=lambda b: shard_batch(b, mesh))
-    return (shard_batch(b, mesh) for b in batches)
+                        map_fn=lambda b: shard_batch(
+                            b, mesh, transfer_dtype=transfer_dtype))
+    return (shard_batch(b, mesh, transfer_dtype=transfer_dtype)
+            for b in batches)
 
 
 def load_mae_params(mae_checkpoint_dir: str, mae_cfg):

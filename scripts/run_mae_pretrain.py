@@ -78,6 +78,10 @@ def parse_args(argv=None):
                    help="batches kept ready on a background thread "
                         "(0 = synchronous; reference analogue: DataLoader "
                         "workers, run_swin_mae3d.py:578-586)")
+    p.add_argument("--transfer_dtype", default="float32",
+                   choices=["float32", "bfloat16", "float16"],
+                   help="downcast float batch arrays on the host before "
+                        "the device transfer (halves host->device bytes)")
     return p.parse_args(argv)
 
 
@@ -173,10 +177,13 @@ def main(argv=None):
         # device_put happens on the prefetch thread: batch N+1's host work
         # and H2D transfer overlap the device step on batch N.
         batches = prefetch(
-            batches, depth=args.prefetch, map_fn=lambda b: shard_batch(b, mesh)
+            batches, depth=args.prefetch,
+            map_fn=lambda b: shard_batch(
+                b, mesh, transfer_dtype=args.transfer_dtype),
         )
     else:
-        batches = (shard_batch(b, mesh) for b in batches)
+        batches = (shard_batch(b, mesh, transfer_dtype=args.transfer_dtype)
+                   for b in batches)
 
     def run_eval(state):
         it = mae_batch_iterator(

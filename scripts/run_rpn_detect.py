@@ -141,7 +141,7 @@ def main(argv=None):
             train_ds, args.batch_size, args.resolution, max_gt=args.max_gt,
             seed=args.seed, workers=args.workers,
         ),
-        mesh, args.prefetch,
+        mesh, args.prefetch, transfer_dtype=args.transfer_dtype,
     )
 
     def obbify(boxes):

@@ -117,7 +117,8 @@ def main(argv=None):
         )
         state = state.replace(params=restored["params"], opt_state=restored["opt_state"])
 
-    batches = overlap_batches(batch_iter(train_ds, args), mesh, args.prefetch)
+    batches = overlap_batches(batch_iter(train_ds, args), mesh, args.prefetch,
+                              transfer_dtype=args.transfer_dtype)
 
     def run_eval(state):
         inter = np.zeros(args.num_classes)
