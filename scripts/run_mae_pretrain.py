@@ -158,13 +158,13 @@ def main(argv=None):
     trainer = MAETrainer(mae_cfg, train_cfg, total_steps, mesh)
     state = trainer.init(jax.random.PRNGKey(args.seed))
     if args.checkpoint:
-        restored = restore_checkpoint(
-            args.checkpoint,
-            template={"params": state.params, "opt_state": state.opt_state},
-        )
-        state = state.replace(
-            params=restored["params"], opt_state=restored["opt_state"]
-        )
+        tmpl = {"params": state.params}
+        if args.mode == "train":
+            tmpl["opt_state"] = state.opt_state
+        restored = restore_checkpoint(args.checkpoint, template=tmpl)
+        state = state.replace(params=restored["params"])
+        if args.mode == "train":
+            state = state.replace(opt_state=restored["opt_state"])
         log.info("restored checkpoint from %s", args.checkpoint)
 
     from nerf_mae_tpu.data.pipeline import prefetch

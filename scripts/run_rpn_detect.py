@@ -85,7 +85,7 @@ def main(argv=None):
     if args.rpn_checkpoint:
         restored = restore_checkpoint(
             args.rpn_checkpoint,
-            template={"params": rpn_state.params, "opt_state": rpn_state.opt_state},
+            template={"params": rpn_state.params},
         )
         rpn_state = rpn_state.replace(params=restored["params"])
         log.info("restored RPN from %s", args.rpn_checkpoint)

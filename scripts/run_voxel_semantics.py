@@ -111,11 +111,16 @@ def main(argv=None):
         state = trainer.graft_mae(state, load_mae_params(args.mae_checkpoint, mae_cfg))
         log.info("grafted MAE trunk+decoder from %s", args.mae_checkpoint)
     if args.checkpoint:
-        restored = restore_checkpoint(
-            args.checkpoint,
-            template={"params": state.params, "opt_state": state.opt_state},
-        )
-        state = state.replace(params=restored["params"], opt_state=restored["opt_state"])
+        # opt_state only matters when resuming training; eval/benchmark
+        # restore params alone so checkpoints from older optimizer layouts
+        # keep loading
+        tmpl = {"params": state.params}
+        if args.mode == "train":
+            tmpl["opt_state"] = state.opt_state
+        restored = restore_checkpoint(args.checkpoint, template=tmpl)
+        state = state.replace(params=restored["params"])
+        if args.mode == "train":
+            state = state.replace(opt_state=restored["opt_state"])
 
     batches = overlap_batches(batch_iter(train_ds, args), mesh, args.prefetch,
                               transfer_dtype=args.transfer_dtype)
