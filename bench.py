@@ -25,6 +25,14 @@ BASELINE_GRIDS_PER_SEC = 3.0  # estimated reference A100 throughput (per GPU)
 
 
 def main():
+    try:  # persistent compile cache: warm re-runs skip the ~5 min compile
+        cache_dir = os.path.expanduser("~/.cache/nerf_mae_tpu/xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from nerf_mae_tpu.config import MAEConfig, SWIN_PRESETS, TrainConfig
     from nerf_mae_tpu.parallel import make_mesh, shard_batch
     from nerf_mae_tpu.train.trainer import MAETrainer

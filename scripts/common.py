@@ -17,6 +17,7 @@ def setup(args):
     if getattr(args, "platform", None):
         os.environ["JAX_PLATFORMS"] = args.platform
         jax.config.update("jax_platforms", args.platform)
+    enable_compilation_cache()
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
@@ -24,6 +25,25 @@ def setup(args):
     )
     for noisy in ("absl", "orbax", "jax"):
         logging.getLogger(noisy).setLevel(logging.WARNING)
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: a driver restarted with the same
+    model/shape skips the multi-minute TPU compile (the torch reference has
+    no analogue; on TPU this is the difference between a 20-minute and a
+    20-second warm start). Opt out with NERF_MAE_NO_COMP_CACHE=1."""
+    if os.environ.get("NERF_MAE_NO_COMP_CACHE") == "1":
+        return
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/nerf_mae_tpu/xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # cache is best-effort; never block a run on it
+        pass
 
 
 def add_common_flags(p):

@@ -126,6 +126,9 @@ def main(argv=None):
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         jax.config.update("jax_platforms", args.platform)
+    from common import enable_compilation_cache
+
+    enable_compilation_cache()
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
