@@ -133,3 +133,55 @@ def test_prefetched_mae_iterator_end_to_end():
     batches = list(it)
     assert len(batches) == 2  # drop_last
     assert batches[0]["grids"].shape == (2, 32, 32, 32, 4)
+
+
+def test_shard_batch_transfer_dtype_casts_grids_only():
+    """bf16 transfer downcasts only grid-like (ndim>=4) float tensors:
+    quantizing gt boxes can make them degenerate (min==max -> log(0))."""
+    import jax.numpy as jnp
+
+    from nerf_mae_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh(1)
+    batch = {
+        "grids": np.random.rand(2, 8, 8, 8, 4).astype(np.float32),
+        "boxes": np.random.rand(2, 3, 6).astype(np.float32),
+        "sizes": np.full((2, 3), 8, np.int32),
+    }
+    out = shard_batch(batch, mesh, transfer_dtype="bfloat16")
+    assert out["grids"].dtype == jnp.bfloat16
+    assert out["boxes"].dtype == jnp.float32
+    assert out["sizes"].dtype == jnp.int32
+    np.testing.assert_allclose(
+        np.asarray(out["grids"], np.float32), batch["grids"],
+        rtol=1e-2, atol=1e-2,
+    )
+    # default: nothing is touched
+    out32 = shard_batch(batch, mesh)
+    assert out32["grids"].dtype == jnp.float32
+
+
+def test_optimizer_skips_nonfinite_updates():
+    """A nan grad must not poison params through the global-norm clip."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_mae_tpu.config import TrainConfig
+    from nerf_mae_tpu.train.optim import make_optimizer
+
+    tx = make_optimizer(TrainConfig(lr=1e-2), total_steps=10)
+    params = {"w": jnp.ones((3,))}
+    opt_state = tx.init(params)
+
+    bad = {"w": jnp.array([1.0, jnp.nan, 1.0])}
+    up, opt_state = tx.update(bad, opt_state, params)
+    params2 = jax.tree.map(lambda p, u: p + u, params, up)
+    assert np.isfinite(np.asarray(params2["w"])).all()
+    np.testing.assert_array_equal(np.asarray(params2["w"]),
+                                  np.asarray(params["w"]))
+
+    good = {"w": jnp.full((3,), 0.5)}
+    up, opt_state = tx.update(good, opt_state, params2)
+    params3 = jax.tree.map(lambda p, u: p + u, params2, up)
+    assert not np.array_equal(np.asarray(params3["w"]),
+                              np.asarray(params2["w"]))
