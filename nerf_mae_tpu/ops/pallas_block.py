@@ -173,7 +173,9 @@ def _pad_row_mask(padded, orig, window, shift):
     nh, nw, nd = (padded[i] // window[i] for i in range(3))
     v = v.reshape(nh, window[0], nw, window[1], nd, window[2])
     v = v.transpose(0, 2, 4, 1, 3, 5).reshape(nh * nw * nd, -1)
-    return v
+    # trailing singleton: Mosaic requires the last two block dims to divide
+    # (8, 128) or equal the array dims; [nW, N, 1] blocks as (wp, N, 1)
+    return v[..., None]
 
 
 def _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c, num_heads,
@@ -586,8 +588,8 @@ def fused_swin_block(
                          rel_bias, d)
     if has_pad:
         in_specs.append(pl.BlockSpec(
-            (wp, n),
-            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0),
+            (wp, n, 1),
+            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0),
             memory_space=pltpu.VMEM,
         ))
         operands.append(pad_m)
@@ -672,8 +674,8 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
                          rel_bias, d)
     if has_pad:
         in_specs.append(pl.BlockSpec(
-            (wp, n),
-            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0),
+            (wp, n, 1),
+            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0),
             memory_space=pltpu.VMEM,
         ))
         operands.append(pad_m)
