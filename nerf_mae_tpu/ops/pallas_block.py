@@ -126,10 +126,15 @@ def _pick_group_block(n_windows: int, num_heads: int, n: int, c: int,
     wp=8). wp must divide the per-sample window count so the shift-mask
     block stays contiguous; wp*heads is capped to bound kernel unrolling."""
     estimate = _bwd_vmem_estimate if mode == "bwd" else _fwd_vmem_estimate
-    candidates = (
-        (10, 9, 8, 5, 4, 3, 2) if mode == "bwd"
-        else (25, 20, 16, 10, 9, 8, 5, 4, 3, 2)
-    )
+    # Even groups get window pairing (see _pair_rel_bias) and small groups
+    # pipeline better than large ones — per-program overhead is NOT the
+    # binder. v5e stage0 [8,40^3,128] pair fwd+bwd sweep: (fwd,bwd)=(4,4)
+    # 47.5ms vs the old (25,10) 76.0ms; wp=5 fwd (1600 programs) also beat
+    # wp=25 (320). Prefer 4, then other evens, then odds.
+    if mode == "bwd":
+        candidates = (4, 8, 2, 10, 5, 9, 3)
+    else:
+        candidates = (4, 8, 2, 10, 16, 20, 25, 5, 9, 3)
     cap = 64 if mode == "bwd" else 128
     # the 12 MB scoped-VMEM budget is v5e-calibrated at C<=256; the C=512
     # stage carries ~13 MB of resident accumulators alone and still fits
@@ -178,11 +183,39 @@ def _pad_row_mask(padded, orig, window, shift):
     return v[..., None]
 
 
+def _pair_rel_bias(rb: jnp.ndarray) -> jnp.ndarray:
+    """[H, N, N] -> [H, 2N, 2N] block-diagonal with -1e9 off-diagonal.
+
+    Window pairing: two 64-token windows attend inside ONE [2N, 2N] logits
+    matmul whose cross-window quadrants are masked to -1e9 (softmax -> 0),
+    so the math is exactly two independent windows — but the MXU sees
+    [128, hd] x [hd, 128] tiles instead of half-empty [64, ...] ones."""
+    h, n, _ = rb.shape
+    neg = jnp.full((h, n, n), -1e9, rb.dtype)
+    return jnp.concatenate([
+        jnp.concatenate([rb, neg], axis=2),
+        jnp.concatenate([neg, rb], axis=2),
+    ], axis=1)
+
+
+def _pair_shift_mask(sm: jnp.ndarray) -> jnp.ndarray:
+    """[nW, N, N] -> [nW//2, 2N, 2N]: consecutive windows' shift masks on
+    the diagonal blocks (off-diagonals already dead via _pair_rel_bias)."""
+    nw, n, _ = sm.shape
+    sm = sm.reshape(nw // 2, 2, n, n)
+    z = jnp.zeros((nw // 2, n, n), sm.dtype)
+    return jnp.concatenate([
+        jnp.concatenate([sm[:, 0], z], axis=2),
+        jnp.concatenate([z, sm[:, 1]], axis=2),
+    ], axis=1)
+
+
 def _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c, num_heads,
                has_shift):
-    """Per-window attention: returns (o [N, C] f32, list of per-head
-    (p, q, k, v) residuals for the backward; residuals=None in fwd-only
-    callers pass keep=False)."""
+    """Per-window(-pair) attention over rows [w*n, (w+1)*n): returns
+    (o [N, C] f32, list of per-head (p, q, k, v) residuals for the
+    backward). With window pairing n is 2x the token count and the bias
+    carries the block-diagonal mask."""
     hd = c // num_heads
     scale = hd ** -0.5
     rows = slice(w * n, (w + 1) * n)
@@ -223,6 +256,7 @@ def _fused_block_kernel(
     num_heads: int,
     has_shift: bool,
     has_pad: bool,
+    paired: bool,
     eps: float,
     n_windows: int,
 ):
@@ -251,9 +285,10 @@ def _fused_block_kernel(
         + qkv_b_ref[...]
     )  # [WP*N, 3C] f32
 
+    m = 2 * n if paired else n  # tokens per attention matmul (see _pair_rel_bias)
     o_rows = []
-    for w in range(wp):
-        o, _ = _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c,
+    for w in range(wp * n // m):
+        o, _ = _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, m, c,
                           num_heads, has_shift)
         o_rows.append(o)
     o = jnp.concatenate(o_rows, axis=0)  # [WP*N, C] f32
@@ -313,6 +348,7 @@ def _fused_block_bwd_kernel(
     num_heads: int,
     has_shift: bool,
     has_pad: bool,
+    paired: bool,
     eps: float,
     n_windows: int,
 ):
@@ -352,9 +388,10 @@ def _fused_block_bwd_kernel(
         jnp.dot(h1, qkv_w_ref[...], preferred_element_type=jnp.float32)
         + qkv_b_ref[...]
     )
+    m = 2 * n if paired else n
     o_rows, attn_saved = [], []
-    for w in range(wp):
-        o, saved = _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c,
+    for w in range(wp * n // m):
+        o, saved = _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, m, c,
                               num_heads, has_shift)
         o_rows.append(o)
         attn_saved.append(saved)
@@ -431,8 +468,8 @@ def _fused_block_bwd_kernel(
     hd = c // num_heads
     scale = hd ** -0.5
     dqkv_rows = []
-    for w in range(wp):
-        rows = slice(w * n, (w + 1) * n)
+    for w in range(wp * n // m):
+        rows = slice(w * m, (w + 1) * m)
         dqs, dks, dvs = [], [], []
         for h in range(num_heads):
             p, q, k, v = attn_saved[w][h]
@@ -512,9 +549,11 @@ def _prep(x, keep_attn, keep_mlp, bias_table, window, shift):
     return xw, counts, n_windows, n, keep2, rel_bias, shift_m, pad_m, shift, pad
 
 
-def _block_specs(wp, n, c, f, num_heads, n_windows):
+def _block_specs(wp, n, c, f, num_heads, n_windows, m=None):
     """The 14 input BlockSpecs shared (in order) by fwd and bwd. Index maps
-    take *_ because scalar-prefetch grid specs pass the SMEM refs along."""
+    take *_ because scalar-prefetch grid specs pass the SMEM refs along.
+    `m` is the attention tile edge (2n when window-paired)."""
+    m = m or n
     const = lambda *shape: pl.BlockSpec(
         shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
     )
@@ -527,7 +566,7 @@ def _block_specs(wp, n, c, f, num_heads, n_windows):
         const(1, c), const(1, c),  # ln2
         const(c, f), const(1, f),  # fc1
         const(f, c), const(1, c),  # fc2
-        const(num_heads, n, n),  # rel_bias
+        const(num_heads, m, m),  # rel_bias (paired: block-diag 2N tile)
     ]
 
 
@@ -576,12 +615,18 @@ def fused_swin_block(
     has_pad = pad_m is not None
 
     wp = _pick_group_block(n_windows, num_heads, n, c, f, mode="fwd")
+    paired = wp % 2 == 0
+    m = 2 * n if paired else n
+    if paired:
+        rel_bias = _pair_rel_bias(rel_bias)
+        if has_shift:
+            shift_m = _pair_shift_mask(shift_m)
     grid = (b * n_windows // wp,)
     kernel = functools.partial(
         _fused_block_kernel, num_heads=num_heads, has_shift=has_shift,
-        has_pad=has_pad, eps=eps, n_windows=n_windows,
+        has_pad=has_pad, paired=paired, eps=eps, n_windows=n_windows,
     )
-    in_specs = _block_specs(wp, n, c, f, num_heads, n_windows)
+    in_specs = _block_specs(wp, n, c, f, num_heads, n_windows, m=m)
     operands = _operands(xw, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
                          proj_kernel, proj_bias, ln2_scale, ln2_bias,
                          fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
@@ -595,7 +640,7 @@ def fused_swin_block(
         operands.append(pad_m)
     if has_shift:
         in_specs.append(pl.BlockSpec(
-            (wp, n, n),
+            (wp * n // m, m, m),
             lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0),
             memory_space=pltpu.VMEM,
         ))
@@ -662,12 +707,18 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
     dyw = dyw.reshape(b * n_windows, n, c)
 
     wp = _pick_group_block(n_windows, num_heads, n, c, f)
+    paired = wp % 2 == 0
+    m = 2 * n if paired else n
+    if paired:
+        rel_bias = _pair_rel_bias(rel_bias)
+        if has_shift:
+            shift_m = _pair_shift_mask(shift_m)
     grid = (b * n_windows // wp,)
     kernel = functools.partial(
         _fused_block_bwd_kernel, num_heads=num_heads, has_shift=has_shift,
-        has_pad=has_pad, eps=eps, n_windows=n_windows,
+        has_pad=has_pad, paired=paired, eps=eps, n_windows=n_windows,
     )
-    in_specs = _block_specs(wp, n, c, f, num_heads, n_windows)
+    in_specs = _block_specs(wp, n, c, f, num_heads, n_windows, m=m)
     operands = _operands(xw, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
                          proj_kernel, proj_bias, ln2_scale, ln2_bias,
                          fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
@@ -681,7 +732,7 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
         operands.append(pad_m)
     if has_shift:
         in_specs.append(pl.BlockSpec(
-            (wp, n, n),
+            (wp * n // m, m, m),
             lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0),
             memory_space=pltpu.VMEM,
         ))
@@ -709,7 +760,7 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
                 const(1, c), const(1, c),
                 const(c, f), const(1, f),
                 const(f, c), const(1, c),
-                const(num_heads, n, n),
+                const(num_heads, m, m),
             ),
         ),
         out_shape=(
@@ -726,7 +777,7 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
             jax.ShapeDtypeStruct((1, f), f32),
             jax.ShapeDtypeStruct((f, c), f32),
             jax.ShapeDtypeStruct((1, c), f32),
-            jax.ShapeDtypeStruct((num_heads, n, n), f32),
+            jax.ShapeDtypeStruct((num_heads, m, m), f32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(keep2, *operands)
@@ -741,6 +792,10 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
     if any(pad):
         dx = dx[:, :g0, :g1, :g2, :]
 
+    if paired:
+        # the two diagonal blocks are the paired windows' logit grads; the
+        # off-diagonals are exactly zero (softmax of -1e9)
+        dlogit = dlogit[:, :n, :n] + dlogit[:, n:, n:]
     rel_idx = relative_position_index_3d(tuple(window))
     dtable = jnp.zeros_like(bias_table)
     dtable = dtable.at[rel_idx.reshape(-1)].add(

@@ -184,3 +184,37 @@ def test_module_level_fused_equals_xla():
     out_x = mod_x.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_odd_window_count_unpaired():
+    """3 windows -> odd wp -> the unpaired kernel path (pairing needs an
+    even window group); fwd + grads must still match XLA."""
+    window, heads, c, eps = (4, 4, 4), 4, 32, 1e-5
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 4, 4, 12, c),
+                          jnp.float32)
+    p = _params(jax.random.PRNGKey(13), c, heads, c * 4, 7 ** 3)
+    w = jax.random.normal(jax.random.PRNGKey(14), x.shape, jnp.float32)
+    ones = jnp.ones((2,), jnp.float32)
+
+    got = _fused(x, p, window, (2, 2, 2), heads, eps, ones, ones)
+    want = _xla_block(x, p, window, (2, 2, 2), heads, eps, ones, ones)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_fused(x, p):
+        return jnp.sum(_fused(x, p, window, (2, 2, 2), heads, eps, ones,
+                              ones) * w)
+
+    def loss_xla(x, p):
+        return jnp.sum(_xla_block(x, p, window, (2, 2, 2), heads, eps, ones,
+                                  ones) * w)
+
+    gx1, gp1 = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    gx2, gp2 = jax.grad(loss_xla, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-4, atol=2e-4)
+    for k in gp1:
+        np.testing.assert_allclose(
+            np.asarray(gp1[k]), np.asarray(gp2[k]), rtol=2e-4, atol=2e-4,
+            err_msg=f"param grad mismatch: {k}",
+        )
