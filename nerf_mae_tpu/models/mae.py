@@ -101,8 +101,11 @@ class SwinMAE3D(nn.Module):
         grids: jnp.ndarray,  # [B, R, R, R, 4] channel-last rgbsigma
         deterministic: bool = True,
         token_mask: Optional[jnp.ndarray] = None,  # [B, T, T, T] bool override
+        patched_pred: bool = False,  # emit [B, r, r, r, p^3, 4] (train fast path)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (pred [B, R, R, R, 4] fp32, token_mask [B, T, T, T] bool)."""
+        """Returns (pred [B, R, R, R, 4] fp32 — or the exact patchify_3d
+        permutation of it when patched_pred, which the subpixel head emits
+        directly — and token_mask [B, T, T, T] bool)."""
         cfg = self.cfg
         x = self.embed(grids)
         # mask: replace masked tokens (pos-embed included) with the learned
@@ -124,9 +127,13 @@ class SwinMAE3D(nn.Module):
         d = self.decoder3(d, f[1])
         d = self.decoder2(d, f[0])
         if cfg.decoder_type == "subpixel":
-            pred = self.subpixel_head(d)
+            pred = self.subpixel_head(
+                d, patched=patched_pred
+            )
         else:
             pred = self.out_head(self.decoder1(d))
+            if patched_pred:
+                pred = patchify_3d(pred, cfg.swin.patch_size[0])
         return pred.astype(jnp.float32), token_mask
 
     def encode(
@@ -160,7 +167,10 @@ def mae_loss(
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
 
-    pred_p = patchify_3d(pred, p)  # [B, r, r, r, p^3, 4]
+    # pred arrives either as the voxel grid or already in patched layout
+    # (SwinMAE3D(..., patched_pred=True) — the same permutation this line
+    # would apply)
+    pred_p = pred if pred.ndim == 6 else patchify_3d(pred, p)
     tgt_p = patchify_3d(target, p)
 
     valid = voxel_validity_mask(sizes, cfg.resolution)  # [B, R, R, R]

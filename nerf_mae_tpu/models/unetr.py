@@ -97,7 +97,7 @@ class SubpixelHead3D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, patched: bool = False) -> jnp.ndarray:
         b, t, _, _, c = x.shape
         w = self.width or c
         h = UnetResBlock3D(w, dtype=self.dtype, name="res")(x)
@@ -106,6 +106,13 @@ class SubpixelHead3D(nn.Module):
             self.out_channels * p**3, (3, 3, 3), padding="SAME",
             dtype=self.dtype, name="proj",
         )(h)  # [B, T, T, T, p^3 * out]
+        if patched:
+            # patchify_3d(depth_to_space(h)) == this reshape exactly, so the
+            # training loss can consume the prediction without either 524 MB
+            # 6-D transpose (the emit below + the loss's patchify); ~20 ms
+            # per swin_b@160^3 step on v5e. The channel-minor voxel grid is
+            # only needed by inference/viz consumers.
+            return h.reshape(b, t, t, t, p**3, self.out_channels)
         h = h.reshape(b, t, t, t, p, p, p, self.out_channels)
         h = h.transpose(0, 1, 4, 2, 5, 3, 6, 7)
         return h.reshape(b, t * p, t * p, t * p, self.out_channels)

@@ -99,8 +99,11 @@ class MAETrainer:
         return state
 
     def _losses(self, params, batch, rngs, deterministic):
+        # patched_pred: the loss consumes the patchify_3d layout directly,
+        # skipping two 524 MB 6-D voxel-grid transposes per step
         pred, token_mask = self.model.apply(
-            {"params": params}, batch["grids"], deterministic, rngs=rngs
+            {"params": params}, batch["grids"], deterministic,
+            patched_pred=True, rngs=rngs
         )
         loss, aux = mae_loss(
             pred, batch["grids"], token_mask, batch["sizes"], self.mae_cfg
@@ -141,7 +144,7 @@ class MAETrainer:
             state.params, batch, {"mask": rng}, True
         )
         p = self.mae_cfg.swin.patch_size[0]
-        pred_p = patchify_3d(pred, p)
+        pred_p = pred if pred.ndim == 6 else patchify_3d(pred, p)
         tgt_p = patchify_3d(batch["grids"].astype(jnp.float32), p)
         alpha_mask = tgt_p[..., 3:] > 0.01
         return {

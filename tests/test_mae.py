@@ -170,3 +170,30 @@ class TestTrainingSignal:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+@pytest.mark.quick
+def test_patched_pred_is_exact_patchify_permutation():
+    """SwinMAE3D(patched_pred=True) must equal patchify_3d of the voxel
+    prediction bit-for-bit (it is the same reshape, not a recompute)."""
+    from nerf_mae_tpu.ops.patchify import patchify_3d
+
+    cfg = MAEConfig(
+        swin=SwinConfig(embed_dim=12, depths=(1, 1, 2, 1),
+                        num_heads=(3, 6, 12, 24)),
+        resolution=32, compute_dtype="float32", remat=False)
+    model = SwinMAE3D(cfg)
+    rng = jax.random.PRNGKey(0)
+    g = jax.random.uniform(rng, (2, 32, 32, 32, 4))
+    params = model.init({"params": rng, "mask": rng}, g, True)
+    tm = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 8)) > 0.5
+    vox, _ = model.apply(params, g, True, token_mask=tm)
+    pat, _ = model.apply(params, g, True, token_mask=tm, patched_pred=True)
+    assert pat.shape == (2, 8, 8, 8, 64, 4)
+    np.testing.assert_array_equal(
+        np.asarray(pat), np.asarray(patchify_3d(vox, 4)))
+    # and the loss is identical through either form
+    sizes = jnp.full((2, 3), 32, jnp.int32)
+    l1, _ = mae_loss(vox, g, tm, sizes, cfg)
+    l2, _ = mae_loss(pat, g, tm, sizes, cfg)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=0, atol=0)
