@@ -183,31 +183,38 @@ def _pad_row_mask(padded, orig, window, shift):
     return v[..., None]
 
 
-def _pair_rel_bias(rb: jnp.ndarray) -> jnp.ndarray:
-    """[H, N, N] -> [H, 2N, 2N] block-diagonal with -1e9 off-diagonal.
+def _pack_factor(wp: int) -> int:
+    """Windows packed per attention tile. Measured on v5e (full step):
+    pack=2 ([128, hd] tiles) 333.9 ms < pack=4 ([256, hd]) 338.8 ms <
+    unpaired 362.7 ms — beyond 2 the k^2 masked-logit FLOPs outgrow the
+    tile-occupancy gain, so cap at 2."""
+    return 2 if wp % 2 == 0 else 1
 
-    Window pairing: two 64-token windows attend inside ONE [2N, 2N] logits
-    matmul whose cross-window quadrants are masked to -1e9 (softmax -> 0),
-    so the math is exactly two independent windows — but the MXU sees
-    [128, hd] x [hd, 128] tiles instead of half-empty [64, ...] ones."""
+
+def _pack_rel_bias(rb: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[H, N, N] -> [H, kN, kN] block-diagonal with -1e9 off-diagonal.
+
+    Window packing: k 64-token windows attend inside ONE [kN, kN] logits
+    matmul whose cross-window blocks are masked to -1e9 (softmax -> 0),
+    so the math is exactly k independent windows — but the MXU sees
+    [kN, hd] x [hd, kN] tiles instead of half-empty [64, ...] ones."""
     h, n, _ = rb.shape
-    neg = jnp.full((h, n, n), -1e9, rb.dtype)
-    return jnp.concatenate([
-        jnp.concatenate([rb, neg], axis=2),
-        jnp.concatenate([neg, rb], axis=2),
-    ], axis=1)
+    eye = jnp.asarray(np.eye(k, dtype=np.float32))
+    off = jnp.asarray((1.0 - np.eye(k)).astype(np.float32)) * jnp.float32(-1e9)
+    # kron: diag blocks = rb, off-diag = -1e9
+    out = (eye[None, :, None, :, None] * rb[:, None, :, None, :]
+           + off[None, :, None, :, None])
+    return out.reshape(h, k * n, k * n)
 
 
-def _pair_shift_mask(sm: jnp.ndarray) -> jnp.ndarray:
-    """[nW, N, N] -> [nW//2, 2N, 2N]: consecutive windows' shift masks on
-    the diagonal blocks (off-diagonals already dead via _pair_rel_bias)."""
+def _pack_shift_mask(sm: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[nW, N, N] -> [nW//k, kN, kN]: consecutive windows' shift masks on
+    the diagonal blocks (off-diagonals already dead via _pack_rel_bias)."""
     nw, n, _ = sm.shape
-    sm = sm.reshape(nw // 2, 2, n, n)
-    z = jnp.zeros((nw // 2, n, n), sm.dtype)
-    return jnp.concatenate([
-        jnp.concatenate([sm[:, 0], z], axis=2),
-        jnp.concatenate([z, sm[:, 1]], axis=2),
-    ], axis=1)
+    sm = sm.reshape(nw // k, k, n, n)
+    eye = jnp.asarray(np.eye(k, dtype=np.float32))
+    out = eye[None, :, None, :, None] * sm[:, :, :, None, :]
+    return out.reshape(nw // k, k * n, k * n)
 
 
 def _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c, num_heads,
@@ -256,7 +263,7 @@ def _fused_block_kernel(
     num_heads: int,
     has_shift: bool,
     has_pad: bool,
-    paired: bool,
+    pack: int,
     eps: float,
     n_windows: int,
 ):
@@ -285,7 +292,7 @@ def _fused_block_kernel(
         + qkv_b_ref[...]
     )  # [WP*N, 3C] f32
 
-    m = 2 * n if paired else n  # tokens per attention matmul (see _pair_rel_bias)
+    m = pack * n  # tokens per attention matmul (see _pack_rel_bias)
     o_rows = []
     for w in range(wp * n // m):
         o, _ = _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, m, c,
@@ -348,7 +355,7 @@ def _fused_block_bwd_kernel(
     num_heads: int,
     has_shift: bool,
     has_pad: bool,
-    paired: bool,
+    pack: int,
     eps: float,
     n_windows: int,
 ):
@@ -388,7 +395,7 @@ def _fused_block_bwd_kernel(
         jnp.dot(h1, qkv_w_ref[...], preferred_element_type=jnp.float32)
         + qkv_b_ref[...]
     )
-    m = 2 * n if paired else n
+    m = pack * n
     o_rows, attn_saved = [], []
     for w in range(wp * n // m):
         o, saved = _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, m, c,
@@ -615,16 +622,16 @@ def fused_swin_block(
     has_pad = pad_m is not None
 
     wp = _pick_group_block(n_windows, num_heads, n, c, f, mode="fwd")
-    paired = wp % 2 == 0
-    m = 2 * n if paired else n
-    if paired:
-        rel_bias = _pair_rel_bias(rel_bias)
+    pack = _pack_factor(wp)
+    m = pack * n
+    if pack > 1:
+        rel_bias = _pack_rel_bias(rel_bias, pack)
         if has_shift:
-            shift_m = _pair_shift_mask(shift_m)
+            shift_m = _pack_shift_mask(shift_m, pack)
     grid = (b * n_windows // wp,)
     kernel = functools.partial(
         _fused_block_kernel, num_heads=num_heads, has_shift=has_shift,
-        has_pad=has_pad, paired=paired, eps=eps, n_windows=n_windows,
+        has_pad=has_pad, pack=pack, eps=eps, n_windows=n_windows,
     )
     in_specs = _block_specs(wp, n, c, f, num_heads, n_windows, m=m)
     operands = _operands(xw, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
@@ -707,16 +714,16 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
     dyw = dyw.reshape(b * n_windows, n, c)
 
     wp = _pick_group_block(n_windows, num_heads, n, c, f)
-    paired = wp % 2 == 0
-    m = 2 * n if paired else n
-    if paired:
-        rel_bias = _pair_rel_bias(rel_bias)
+    pack = _pack_factor(wp)
+    m = pack * n
+    if pack > 1:
+        rel_bias = _pack_rel_bias(rel_bias, pack)
         if has_shift:
-            shift_m = _pair_shift_mask(shift_m)
+            shift_m = _pack_shift_mask(shift_m, pack)
     grid = (b * n_windows // wp,)
     kernel = functools.partial(
         _fused_block_bwd_kernel, num_heads=num_heads, has_shift=has_shift,
-        has_pad=has_pad, paired=paired, eps=eps, n_windows=n_windows,
+        has_pad=has_pad, pack=pack, eps=eps, n_windows=n_windows,
     )
     in_specs = _block_specs(wp, n, c, f, num_heads, n_windows, m=m)
     operands = _operands(xw, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
@@ -792,10 +799,11 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
     if any(pad):
         dx = dx[:, :g0, :g1, :g2, :]
 
-    if paired:
-        # the two diagonal blocks are the paired windows' logit grads; the
+    if pack > 1:
+        # the diagonal blocks are the packed windows' logit grads; the
         # off-diagonals are exactly zero (softmax of -1e9)
-        dlogit = dlogit[:, :n, :n] + dlogit[:, n:, n:]
+        dlogit = sum(dlogit[:, i * n:(i + 1) * n, i * n:(i + 1) * n]
+                     for i in range(pack))
     rel_idx = relative_position_index_3d(tuple(window))
     dtable = jnp.zeros_like(bias_table)
     dtable = dtable.at[rel_idx.reshape(-1)].add(
