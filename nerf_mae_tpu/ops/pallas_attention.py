@@ -56,6 +56,36 @@ def _pick_group(n_windows: int, num_heads: int) -> int:
     return 1
 
 
+def _pack_factor(wp: int) -> int:
+    """Windows packed per attention tile (2 when the group is even).
+    Measured on v5e: [128, hd] block-diagonal tiles beat half-empty
+    [64, hd] ones; beyond 2 the k^2 masked-logit FLOPs outgrow the
+    occupancy gain (PERF.md)."""
+    return 2 if wp % 2 == 0 else 1
+
+
+def _pack_rel_bias(rb: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[H, N, N] -> [H, kN, kN] block-diagonal with -1e9 off-diagonal:
+    k windows attend inside one [kN, kN] logits matmul whose cross-window
+    blocks softmax to 0 — exactly k independent windows on full MXU tiles."""
+    h, n, _ = rb.shape
+    eye = jnp.asarray(np.eye(k, dtype=np.float32))
+    off = jnp.asarray((1.0 - np.eye(k)).astype(np.float32)) * jnp.float32(-1e9)
+    out = (eye[None, :, None, :, None] * rb[:, None, :, None, :]
+           + off[None, :, None, :, None])
+    return out.reshape(h, k * n, k * n)
+
+
+def _pack_shift_mask(sm: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[nW, N, N] -> [nW//k, kN, kN]: consecutive windows' shift masks on
+    the diagonal blocks (off-diagonals already dead via _pack_rel_bias)."""
+    nw, n, _ = sm.shape
+    sm = sm.reshape(nw // k, k, n, n)
+    eye = jnp.asarray(np.eye(k, dtype=np.float32))
+    out = eye[None, :, None, :, None] * sm[:, :, :, None, :]
+    return out.reshape(nw // k, k * n, k * n)
+
+
 def _fused_window_attn_kernel(
     x_ref,  # [WP, N, C] tokens of WP windows
     qkv_w_ref,  # [C, 3C]
@@ -63,9 +93,10 @@ def _fused_window_attn_kernel(
     proj_w_ref,  # [C, C]
     proj_b_ref,  # [1, C]
     rel_bias_ref,  # [heads, N, N] constant-index (VMEM-resident)
-    *rest,  # optional shift_mask_ref [WP, N, N], then out_ref [WP, N, C]
+    *rest,  # optional shift_mask_ref [WP/pack, M, M], then out_ref [WP, N, C]
     num_heads: int,
     has_shift: bool,
+    pack: int,
 ):
     """Mosaic-friendly structure: the only reshape merges leading dims; the
     per-head/per-window attention uses static lane slices + 2D matmuls
@@ -74,6 +105,7 @@ def _fused_window_attn_kernel(
     shift_mask_ref = rest[0] if has_shift else None
     out_ref = rest[-1]
     wp, n, c = x_ref.shape
+    m = pack * n  # tokens per attention tile (see _pack_rel_bias)
     hd = c // num_heads
     scale = hd ** -0.5
     x = x_ref[...].reshape(wp * n, c)  # leading-dim merge: supported
@@ -84,8 +116,8 @@ def _fused_window_attn_kernel(
     )  # [WP*N, 3C] fp32, VMEM-resident
 
     outs = []
-    for w in range(wp):  # static unroll
-        rows = slice(w * n, (w + 1) * n)
+    for w in range(wp * n // m):  # static unroll over window packs
+        rows = slice(w * m, (w + 1) * m)
         head_outs = []
         for h in range(num_heads):  # static unroll
             q = qkv[rows, h * hd:(h + 1) * hd] * scale  # [N, hd]
@@ -150,10 +182,17 @@ def _pallas_window_attention_fwd(
     has_shift = shift_m is not None
 
     wp = _pick_group(n_windows, num_heads)
+    pack = _pack_factor(wp)
+    m = pack * n
+    if pack > 1:
+        rel_bias = _pack_rel_bias(rel_bias, pack)
+        if has_shift:
+            shift_m = _pack_shift_mask(shift_m, pack)
     grid = (b * n_windows // wp,)
 
     kernel = functools.partial(
-        _fused_window_attn_kernel, num_heads=num_heads, has_shift=has_shift
+        _fused_window_attn_kernel, num_heads=num_heads, has_shift=has_shift,
+        pack=pack,
     )
     in_specs = [
         pl.BlockSpec((wp, n, c), lambda i: (i, 0, 0),
@@ -164,7 +203,7 @@ def _pallas_window_attention_fwd(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+        pl.BlockSpec((num_heads, m, m), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [
@@ -177,7 +216,7 @@ def _pallas_window_attention_fwd(
     ]
     if has_shift:
         in_specs.append(pl.BlockSpec(
-            (wp, n, n),
+            (wp * n // m, m, m),
             lambda i, _nw=n_windows // wp: (i % _nw, 0, 0),
             memory_space=pltpu.VMEM,
         ))
@@ -249,6 +288,7 @@ def _fused_window_attn_bwd_kernel(
     # dproj_w [C, C], dproj_b [1, C], dlogit [heads, N, N]
     num_heads: int,
     has_shift: bool,
+    pack: int,
 ):
     """Backward of the fused window MSA: recomputes the forward in VMEM,
     then chains the VJP by hand. Weight/bias/logit grads accumulate across
@@ -258,6 +298,7 @@ def _fused_window_attn_bwd_kernel(
     (dx_ref, dqkv_w_ref, dqkv_b_ref, dproj_w_ref, dproj_b_ref,
      dlogit_ref) = rest[-6:]
     wp, n, c = x_ref.shape
+    m = pack * n
     hd = c // num_heads
     scale = hd ** -0.5
     first = pl.program_id(0) == 0
@@ -287,8 +328,8 @@ def _fused_window_attn_bwd_kernel(
     dproj_b_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
 
     o_rows, dqkv_rows = [], []
-    for w in range(wp):
-        rows = slice(w * n, (w + 1) * n)
+    for w in range(wp * n // m):
+        rows = slice(w * m, (w + 1) * m)
         head_o, dqs, dks, dvs = [], [], [], []
         for h in range(num_heads):
             q = qkv[rows, h * hd:(h + 1) * hd] * scale
@@ -365,9 +406,16 @@ def _pallas_window_attention_bwd(
     has_shift = shift_m is not None
 
     wp = _pick_group(n_windows, num_heads)
+    pack = _pack_factor(wp)
+    m = pack * n
+    if pack > 1:
+        rel_bias = _pack_rel_bias(rel_bias, pack)
+        if has_shift:
+            shift_m = _pack_shift_mask(shift_m, pack)
     grid = (b * n_windows // wp,)
     kernel = functools.partial(_fused_window_attn_bwd_kernel,
-                               num_heads=num_heads, has_shift=has_shift)
+                               num_heads=num_heads, has_shift=has_shift,
+                               pack=pack)
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
     in_specs = [
@@ -376,7 +424,7 @@ def _pallas_window_attention_bwd(
         const(c, 3 * c),
         const(1, 3 * c),
         const(c, c),
-        const(num_heads, n, n),
+        const(num_heads, m, m),
     ]
     operands = [
         xw,
@@ -387,7 +435,7 @@ def _pallas_window_attention_bwd(
     ]
     if has_shift:
         in_specs.append(pl.BlockSpec(
-            (wp, n, n),
+            (wp * n // m, m, m),
             lambda i, _nw=n_windows // wp: (i % _nw, 0, 0),
             memory_space=pltpu.VMEM,
         ))
@@ -406,7 +454,7 @@ def _pallas_window_attention_bwd(
             const(1, 3 * c),
             const(c, c),
             const(1, c),
-            const(num_heads, n, n),
+            const(num_heads, m, m),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(xw.shape, x.dtype),
@@ -414,11 +462,15 @@ def _pallas_window_attention_bwd(
             jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),
             jax.ShapeDtypeStruct((c, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
-            jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((num_heads, m, m), jnp.float32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(*operands)
     dx = window_unpartition_3d(dx.reshape(b, n_windows, n, c), window, counts)
+    if pack > 1:
+        # diagonal blocks are the packed windows' logit grads; off-diag = 0
+        dlogit = sum(dlogit[:, i * n:(i + 1) * n, i * n:(i + 1) * n]
+                     for i in range(pack))
     # bias-table grad: scatter the accumulated per-position logit grads
     rel_idx = relative_position_index_3d(tuple(window))
     dtable = jnp.zeros_like(bias_table)

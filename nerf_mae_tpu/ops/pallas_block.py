@@ -17,9 +17,14 @@ own rematerializer — SwinEncoder3D skips jax.checkpoint on fused stages
 (wrapping one would pay an extra forward for zero memory gain).
 
 The forward and backward kernels pick window-group sizes independently
-(_pick_group_block): the backward is bound by VMEM-resident f32 weight-grad
-accumulators (wp <= 8), while the forward has none and runs much larger
-groups (wp <= 25) to amortize per-program overhead.
+(_pick_group_block). Two measured v5e laws (PERF.md): SMALL groups win —
+per-program overhead is not the binder (the sequential grid is a hardware
+loop) and small blocks pipeline better; and EVEN groups get window
+packing (_pack_rel_bias): two 64-token windows share one block-diagonal
+[128, 128] attention matmul whose cross-window quadrants sit at -1e9, so
+the MXU runs full-width tiles while the math stays exactly two
+independent windows. (fwd, bwd) = (4, 4) paired took stage0's block pair
+from 76.0 to 47.5 ms.
 
 Scope / fallbacks:
   * channel count C <= 512: the f32 weight-gradient accumulators for
@@ -50,7 +55,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nerf_mae_tpu.ops.pallas_attention import _rel_bias_and_shift_mask
+from nerf_mae_tpu.ops.pallas_attention import (
+    _pack_factor,
+    _pack_rel_bias,
+    _pack_shift_mask,
+    _rel_bias_and_shift_mask,
+)
 from nerf_mae_tpu.ops.window_attention import (
     relative_position_index_3d,
     window_partition_3d,
@@ -181,40 +191,6 @@ def _pad_row_mask(padded, orig, window, shift):
     # trailing singleton: Mosaic requires the last two block dims to divide
     # (8, 128) or equal the array dims; [nW, N, 1] blocks as (wp, N, 1)
     return v[..., None]
-
-
-def _pack_factor(wp: int) -> int:
-    """Windows packed per attention tile. Measured on v5e (full step):
-    pack=2 ([128, hd] tiles) 333.9 ms < pack=4 ([256, hd]) 338.8 ms <
-    unpaired 362.7 ms — beyond 2 the k^2 masked-logit FLOPs outgrow the
-    tile-occupancy gain, so cap at 2."""
-    return 2 if wp % 2 == 0 else 1
-
-
-def _pack_rel_bias(rb: jnp.ndarray, k: int) -> jnp.ndarray:
-    """[H, N, N] -> [H, kN, kN] block-diagonal with -1e9 off-diagonal.
-
-    Window packing: k 64-token windows attend inside ONE [kN, kN] logits
-    matmul whose cross-window blocks are masked to -1e9 (softmax -> 0),
-    so the math is exactly k independent windows — but the MXU sees
-    [kN, hd] x [hd, kN] tiles instead of half-empty [64, ...] ones."""
-    h, n, _ = rb.shape
-    eye = jnp.asarray(np.eye(k, dtype=np.float32))
-    off = jnp.asarray((1.0 - np.eye(k)).astype(np.float32)) * jnp.float32(-1e9)
-    # kron: diag blocks = rb, off-diag = -1e9
-    out = (eye[None, :, None, :, None] * rb[:, None, :, None, :]
-           + off[None, :, None, :, None])
-    return out.reshape(h, k * n, k * n)
-
-
-def _pack_shift_mask(sm: jnp.ndarray, k: int) -> jnp.ndarray:
-    """[nW, N, N] -> [nW//k, kN, kN]: consecutive windows' shift masks on
-    the diagonal blocks (off-diagonals already dead via _pack_rel_bias)."""
-    nw, n, _ = sm.shape
-    sm = sm.reshape(nw // k, k, n, n)
-    eye = jnp.asarray(np.eye(k, dtype=np.float32))
-    out = eye[None, :, None, :, None] * sm[:, :, :, None, :]
-    return out.reshape(nw // k, k * n, k * n)
 
 
 def _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c, num_heads,
