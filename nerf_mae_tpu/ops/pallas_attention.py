@@ -49,8 +49,12 @@ from nerf_mae_tpu.ops.window_attention import (
 
 def _pick_group(n_windows: int, num_heads: int) -> int:
     """Windows per program: feed the MXU bigger qkv/proj matmuls, but cap
-    the unrolled per-head attention loop (compile time / code size)."""
-    for wp in (8, 5, 4, 3, 2):
+    the unrolled per-head attention loop (compile time / code size).
+    Shifted blocks pass the per-sample window count (the mask block index
+    must stay sample-aligned); unshifted blocks pass the flat batch*nW
+    count, which is even and unlocks packing (e.g. 27 windows/sample ->
+    216 flat)."""
+    for wp in (4, 8, 2, 5, 3):
         if n_windows % wp == 0 and wp * num_heads <= 64:
             return wp
     return 1
@@ -181,7 +185,7 @@ def _pallas_window_attention_fwd(
     )
     has_shift = shift_m is not None
 
-    wp = _pick_group(n_windows, num_heads)
+    wp = _pick_group(n_windows if has_shift else b * n_windows, num_heads)
     pack = _pack_factor(wp)
     m = pack * n
     if pack > 1:
@@ -405,7 +409,7 @@ def _pallas_window_attention_bwd(
     )
     has_shift = shift_m is not None
 
-    wp = _pick_group(n_windows, num_heads)
+    wp = _pick_group(n_windows if has_shift else b * n_windows, num_heads)
     pack = _pack_factor(wp)
     m = pack * n
     if pack > 1:

@@ -597,7 +597,12 @@ def fused_swin_block(
     has_shift = shift_m is not None
     has_pad = pad_m is not None
 
-    wp = _pick_group_block(n_windows, num_heads, n, c, f, mode="fwd")
+    # shifted/padded blocks need sample-aligned groups (their mask block
+    # index maps assume it); unshifted-unpadded blocks group over the flat
+    # batch*nW axis, which is even and unlocks packing at odd per-sample
+    # window counts (125 at stage1, 27 at padded stage2)
+    wp_div = n_windows if (has_shift or has_pad) else b * n_windows
+    wp = _pick_group_block(wp_div, num_heads, n, c, f, mode="fwd")
     pack = _pack_factor(wp)
     m = pack * n
     if pack > 1:
@@ -689,7 +694,8 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
     dyw, _ = window_partition_3d(gy, window)
     dyw = dyw.reshape(b * n_windows, n, c)
 
-    wp = _pick_group_block(n_windows, num_heads, n, c, f)
+    wp_div = n_windows if (has_shift or has_pad) else b * n_windows
+    wp = _pick_group_block(wp_div, num_heads, n, c, f)
     pack = _pack_factor(wp)
     m = pack * n
     if pack > 1:

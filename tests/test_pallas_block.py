@@ -218,3 +218,40 @@ def test_fused_block_odd_window_count_unpaired():
             np.asarray(gp1[k]), np.asarray(gp2[k]), rtol=2e-4, atol=2e-4,
             err_msg=f"param grad mismatch: {k}",
         )
+
+
+def test_fused_block_unshifted_groups_cross_samples():
+    """Unshifted blocks group windows over the flat batch*nW axis (3
+    windows/sample, batch 2 -> wp=2 packs windows of different samples in
+    one tile); per-sample droppath keeps must still land on the right
+    rows, fwd and grads."""
+    window, heads, c, eps = (4, 4, 4), 4, 32, 1e-5
+    x = jax.random.normal(jax.random.PRNGKey(15), (2, 4, 4, 12, c),
+                          jnp.float32)
+    p = _params(jax.random.PRNGKey(16), c, heads, c * 4, 7 ** 3)
+    w = jax.random.normal(jax.random.PRNGKey(17), x.shape, jnp.float32)
+    ka = jnp.array([1.25, 0.75], jnp.float32)  # distinct per sample
+    km = jnp.array([0.5, 1.5], jnp.float32)
+
+    got = _fused(x, p, window, (0, 0, 0), heads, eps, ka, km)
+    want = _xla_block(x, p, window, (0, 0, 0), heads, eps, ka, km)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_fused(x, p):
+        return jnp.sum(_fused(x, p, window, (0, 0, 0), heads, eps, ka,
+                              km) * w)
+
+    def loss_xla(x, p):
+        return jnp.sum(_xla_block(x, p, window, (0, 0, 0), heads, eps, ka,
+                                  km) * w)
+
+    gx1, gp1 = jax.grad(loss_fused, argnums=(0, 1))(x, p)
+    gx2, gp2 = jax.grad(loss_xla, argnums=(0, 1))(x, p)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=2e-4, atol=2e-4)
+    for k in gp1:
+        np.testing.assert_allclose(
+            np.asarray(gp1[k]), np.asarray(gp2[k]), rtol=2e-4, atol=2e-4,
+            err_msg=f"param grad mismatch: {k}",
+        )
