@@ -68,6 +68,24 @@ def _pack_factor(wp: int) -> int:
     return 2 if wp % 2 == 0 else 1
 
 
+def _plan_groups(n_windows: int, b: int, has_mask: bool, pick, n: int):
+    """Choose (wp, flat_mask). Sample-aligned groups keep the per-window
+    masks' periodic block indexing; when that alignment forbids packing
+    (odd per-sample window count) but the flat batch*nW axis allows it,
+    the masks are instead tiled per batch (flat_mask=True, plain block
+    index) — a small constant (e.g. 7 MB at stage2) for full-width tiles."""
+    if not has_mask:
+        return pick(b * n_windows), False
+    wp = pick(n_windows)
+    if _pack_factor(wp) > 1:
+        return wp, False
+    wp_flat = pick(b * n_windows)
+    tiled_bytes = b * n_windows * 2 * (2 * n) * (2 * n)  # f32, packed tiles
+    if _pack_factor(wp_flat) > 1 and tiled_bytes <= (64 << 20):
+        return wp_flat, True
+    return wp, False
+
+
 def _pack_rel_bias(rb: jnp.ndarray, k: int) -> jnp.ndarray:
     """[H, N, N] -> [H, kN, kN] block-diagonal with -1e9 off-diagonal:
     k windows attend inside one [kN, kN] logits matmul whose cross-window
@@ -185,12 +203,16 @@ def _pallas_window_attention_fwd(
     )
     has_shift = shift_m is not None
 
-    wp = _pick_group(n_windows if has_shift else b * n_windows, num_heads)
+    wp, flat_mask = _plan_groups(
+        n_windows, b, has_shift, lambda nv: _pick_group(nv, num_heads), n)
     pack = _pack_factor(wp)
     m = pack * n
     if pack > 1:
         rel_bias = _pack_rel_bias(rel_bias, pack)
-        if has_shift:
+    if has_shift:
+        if flat_mask:
+            shift_m = jnp.tile(shift_m, (b, 1, 1))
+        if pack > 1:
             shift_m = _pack_shift_mask(shift_m, pack)
     grid = (b * n_windows // wp,)
 
@@ -221,7 +243,8 @@ def _pallas_window_attention_fwd(
     if has_shift:
         in_specs.append(pl.BlockSpec(
             (wp * n // m, m, m),
-            lambda i, _nw=n_windows // wp: (i % _nw, 0, 0),
+            (lambda i: (i, 0, 0)) if flat_mask else
+            (lambda i, _nw=n_windows // wp: (i % _nw, 0, 0)),
             memory_space=pltpu.VMEM,
         ))
         operands.append(shift_m)
@@ -409,12 +432,16 @@ def _pallas_window_attention_bwd(
     )
     has_shift = shift_m is not None
 
-    wp = _pick_group(n_windows if has_shift else b * n_windows, num_heads)
+    wp, flat_mask = _plan_groups(
+        n_windows, b, has_shift, lambda nv: _pick_group(nv, num_heads), n)
     pack = _pack_factor(wp)
     m = pack * n
     if pack > 1:
         rel_bias = _pack_rel_bias(rel_bias, pack)
-        if has_shift:
+    if has_shift:
+        if flat_mask:
+            shift_m = jnp.tile(shift_m, (b, 1, 1))
+        if pack > 1:
             shift_m = _pack_shift_mask(shift_m, pack)
     grid = (b * n_windows // wp,)
     kernel = functools.partial(_fused_window_attn_bwd_kernel,
@@ -440,7 +467,8 @@ def _pallas_window_attention_bwd(
     if has_shift:
         in_specs.append(pl.BlockSpec(
             (wp * n // m, m, m),
-            lambda i, _nw=n_windows // wp: (i % _nw, 0, 0),
+            (lambda i: (i, 0, 0)) if flat_mask else
+            (lambda i, _nw=n_windows // wp: (i % _nw, 0, 0)),
             memory_space=pltpu.VMEM,
         ))
         operands.append(shift_m)

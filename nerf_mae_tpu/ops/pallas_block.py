@@ -59,6 +59,7 @@ from nerf_mae_tpu.ops.pallas_attention import (
     _pack_factor,
     _pack_rel_bias,
     _pack_shift_mask,
+    _plan_groups,
     _rel_bias_and_shift_mask,
 )
 from nerf_mae_tpu.ops.window_attention import (
@@ -597,18 +598,25 @@ def fused_swin_block(
     has_shift = shift_m is not None
     has_pad = pad_m is not None
 
-    # shifted/padded blocks need sample-aligned groups (their mask block
-    # index maps assume it); unshifted-unpadded blocks group over the flat
-    # batch*nW axis, which is even and unlocks packing at odd per-sample
-    # window counts (125 at stage1, 27 at padded stage2)
-    wp_div = n_windows if (has_shift or has_pad) else b * n_windows
-    wp = _pick_group_block(wp_div, num_heads, n, c, f, mode="fwd")
+    # sample-aligned groups keep the shift/pad masks' periodic block
+    # indexing; when that forbids packing (odd per-sample window counts:
+    # 125 at stage1, 27 at padded stage2) the masks are tiled per batch
+    # (flat_mask) so groups span the even flat batch*nW axis
+    wp, flat_mask = _plan_groups(
+        n_windows, b, has_shift or has_pad,
+        lambda nv, _m="fwd": _pick_group_block(nv, num_heads, n, c, f,
+                                               mode=_m), n)
     pack = _pack_factor(wp)
     m = pack * n
     if pack > 1:
         rel_bias = _pack_rel_bias(rel_bias, pack)
+    if flat_mask:
+        if has_pad:
+            pad_m = jnp.tile(pad_m, (b, 1, 1))
         if has_shift:
-            shift_m = _pack_shift_mask(shift_m, pack)
+            shift_m = jnp.tile(shift_m, (b, 1, 1))
+    if pack > 1 and has_shift:
+        shift_m = _pack_shift_mask(shift_m, pack)
     grid = (b * n_windows // wp,)
     kernel = functools.partial(
         _fused_block_kernel, num_heads=num_heads, has_shift=has_shift,
@@ -622,14 +630,16 @@ def fused_swin_block(
     if has_pad:
         in_specs.append(pl.BlockSpec(
             (wp, n, 1),
-            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0),
+            (lambda i, *_: (i, 0, 0)) if flat_mask else
+            (lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0)),
             memory_space=pltpu.VMEM,
         ))
         operands.append(pad_m)
     if has_shift:
         in_specs.append(pl.BlockSpec(
             (wp * n // m, m, m),
-            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0),
+            (lambda i, *_: (i, 0, 0)) if flat_mask else
+            (lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0)),
             memory_space=pltpu.VMEM,
         ))
         operands.append(shift_m)
@@ -694,14 +704,20 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
     dyw, _ = window_partition_3d(gy, window)
     dyw = dyw.reshape(b * n_windows, n, c)
 
-    wp_div = n_windows if (has_shift or has_pad) else b * n_windows
-    wp = _pick_group_block(wp_div, num_heads, n, c, f)
+    wp, flat_mask = _plan_groups(
+        n_windows, b, has_shift or has_pad,
+        lambda nv: _pick_group_block(nv, num_heads, n, c, f), n)
     pack = _pack_factor(wp)
     m = pack * n
     if pack > 1:
         rel_bias = _pack_rel_bias(rel_bias, pack)
+    if flat_mask:
+        if has_pad:
+            pad_m = jnp.tile(pad_m, (b, 1, 1))
         if has_shift:
-            shift_m = _pack_shift_mask(shift_m, pack)
+            shift_m = jnp.tile(shift_m, (b, 1, 1))
+    if pack > 1 and has_shift:
+        shift_m = _pack_shift_mask(shift_m, pack)
     grid = (b * n_windows // wp,)
     kernel = functools.partial(
         _fused_block_bwd_kernel, num_heads=num_heads, has_shift=has_shift,
@@ -715,14 +731,16 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
     if has_pad:
         in_specs.append(pl.BlockSpec(
             (wp, n, 1),
-            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0),
+            (lambda i, *_: (i, 0, 0)) if flat_mask else
+            (lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0)),
             memory_space=pltpu.VMEM,
         ))
         operands.append(pad_m)
     if has_shift:
         in_specs.append(pl.BlockSpec(
             (wp * n // m, m, m),
-            lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0),
+            (lambda i, *_: (i, 0, 0)) if flat_mask else
+            (lambda i, *_, _nw=n_windows // wp: (i % _nw, 0, 0)),
             memory_space=pltpu.VMEM,
         ))
         operands.append(shift_m)

@@ -186,9 +186,9 @@ def test_module_level_fused_equals_xla():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_fused_block_odd_window_count_unpaired():
-    """3 windows -> odd wp -> the unpaired kernel path (pairing needs an
-    even window group); fwd + grads must still match XLA."""
+def test_fused_block_odd_window_count_shifted():
+    """3 windows/sample (odd): the shifted block packs via the flat-tiled
+    shift mask (batch*nW = 6 windows, wp=2); fwd + grads must match XLA."""
     window, heads, c, eps = (4, 4, 4), 4, 32, 1e-5
     x = jax.random.normal(jax.random.PRNGKey(12), (2, 4, 4, 12, c),
                           jnp.float32)
