@@ -229,6 +229,15 @@ class TestGraftEntry:
 
         __graft_entry__.dryrun_multichip(8)
 
+    @pytest.mark.slow
+    def test_dryrun_multihost(self):
+        # 2 processes x 4 virtual CPU chips; jax.distributed + Gloo
+        # collectives + rank-0-gated checkpoint (reference DDP semantics:
+        # nerf_mae/run_swin_mae3d.py:809-902, rank gate :617-618)
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multihost(timeout_s=420)
+
 
 class TestGeneralDataset:
     def test_csv_loading(self, tmp_path):
