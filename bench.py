@@ -3,16 +3,32 @@
 
 Prints ONE JSON line:
   {"metric": "grids_per_sec_per_chip_swinb_mae3d_160", "value": N,
-   "unit": "grids/s/chip", "vs_baseline": N}
+   "unit": "grids/s/chip", "vs_baseline": N, "mfu": ..., ...}
 
-The baseline is the estimated PyTorch A100 throughput of the reference's
-pretraining step (README.md "~2 days, 8 A100, batch 32" with the multi-
-dataset recipe implies ~3 grids/s/GPU for swin_b-class models; no number is
-published in-repo — see BASELINE.md).
+Guarantees a JSON line is emitted even under an external `timeout`:
+SIGTERM/SIGINT are trapped and the best measurement so far (or an explicit
+zero with a phase marker) is printed before exit. An internal wall-clock
+budget (NERF_MAE_BENCH_BUDGET_S, default 1500 s) gates the fallback
+batch-size probes so one slow cold compile cannot eat the whole run.
+
+MFU is model-FLOPs utilization: analytic fwd GEMM FLOPs x3 (fwd+bwd,
+remat recompute excluded — see nerf_mae_tpu/flops.py) against the 197
+TFLOP/s bf16 peak of one v5e chip.
+
+The baseline is the ESTIMATED PyTorch A100 throughput of the reference's
+pretraining step (README.md "~2 days, 8 A100, batch 32" implies ~3
+grids/s/GPU for swin_b-class models; no number is published in-repo — see
+BASELINE.md). "baseline_basis": "estimate" marks this.
+
+Optional: NERF_MAE_PROFILE_DIR=<dir> (or --profile_dir <dir>) captures a
+jax.profiler trace of the timed reps — the TPU equivalent of the
+reference's CUDA-event harness (reference:
+nerf_rpn/run_fcos_pretrained.py:989-1014).
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -22,9 +38,47 @@ import jax
 import numpy as np
 
 BASELINE_GRIDS_PER_SEC = 3.0  # estimated reference A100 throughput (per GPU)
+METRIC = "grids_per_sec_per_chip_swinb_mae3d_160"
+
+_state = {"value": None, "mfu": None, "step_ms": None, "phase": "start",
+          "emitted": False}
+
+
+def _emit():
+    if _state["emitted"]:
+        return
+    _state["emitted"] = True
+    value = _state["value"] or 0.0
+    out = {
+        "metric": METRIC,
+        "value": round(value, 3),
+        "unit": "grids/s/chip",
+        "vs_baseline": round(value / BASELINE_GRIDS_PER_SEC, 3),
+        "baseline_basis": "estimate",
+        "phase": _state["phase"],
+    }
+    if _state["mfu"] is not None:
+        out["mfu"] = round(_state["mfu"], 4)
+    if _state["step_ms"] is not None:
+        out["step_ms"] = round(_state["step_ms"], 1)
+    print(json.dumps(out), flush=True)
+
+
+def _on_term(signum, frame):
+    _emit()
+    os._exit(0 if _state["value"] else 1)
 
 
 def main():
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    budget_s = float(os.environ.get("NERF_MAE_BENCH_BUDGET_S", "1500"))
+    t_start = time.monotonic()
+
+    profile_dir = os.environ.get("NERF_MAE_PROFILE_DIR")
+    if "--profile_dir" in sys.argv:
+        profile_dir = sys.argv[sys.argv.index("--profile_dir") + 1]
+
     try:  # persistent compile cache: warm re-runs skip the ~5 min compile
         cache_dir = os.path.expanduser("~/.cache/nerf_mae_tpu/xla")
         os.makedirs(cache_dir, exist_ok=True)
@@ -34,6 +88,7 @@ def main():
         pass
 
     from nerf_mae_tpu.config import MAEConfig, SWIN_PRESETS, TrainConfig
+    from nerf_mae_tpu.flops import train_mfu
     from nerf_mae_tpu.parallel import make_mesh, shard_batch
     from nerf_mae_tpu.train.trainer import MAETrainer
 
@@ -47,11 +102,16 @@ def main():
     )
 
     rng = np.random.RandomState(0)
-    value = None
     # batch 8/chip is the measured operating point (PERF.md); try it first —
     # larger batches OOM on v5e and each failed probe costs a ~5 min remote
-    # compile
-    for batch_size in (8 * n_chips, 4 * n_chips, 2 * n_chips, n_chips):
+    # compile. Fallback probes run only while the budget allows.
+    for probe_i, batch_size in enumerate(
+        (8 * n_chips, 4 * n_chips, 2 * n_chips, n_chips)
+    ):
+        if probe_i and time.monotonic() - t_start > budget_s * 0.6:
+            _state["phase"] = f"budget_exhausted_before_batch{batch_size}"
+            break
+        _state["phase"] = f"compile_batch{batch_size}"
         try:
             trainer = MAETrainer(cfg, TrainConfig(batch_size=batch_size), 1000, mesh)
             state = trainer.init(jax.random.PRNGKey(0))
@@ -65,7 +125,10 @@ def main():
             state, m = trainer.train_step(state, batch)  # compile
             first_loss = float(m["loss"])  # host transfer = hard barrier
             assert np.isfinite(first_loss), first_loss
+            _state["phase"] = f"measure_batch{batch_size}"
             reps = 10
+            if profile_dir:
+                jax.profiler.start_trace(profile_dir)
             t0 = time.perf_counter()
             for _ in range(reps):
                 state, m = trainer.train_step(state, batch)
@@ -73,10 +136,19 @@ def main():
             # tunnel can ack at dispatch, not completion
             _ = float(m["loss"])
             dt = (time.perf_counter() - t0) / reps
+            if profile_dir:
+                jax.profiler.stop_trace()
+                print(f"# profiler trace -> {profile_dir}", file=sys.stderr)
             value = batch_size / dt / n_chips
+            _state.update(
+                value=value,
+                mfu=train_mfu(value, cfg),
+                step_ms=dt * 1000,
+                phase="done",
+            )
             print(
                 f"# batch={batch_size} step={dt*1000:.1f}ms -> "
-                f"{value:.2f} grids/s/chip",
+                f"{value:.2f} grids/s/chip, MFU {_state['mfu']*100:.1f}%",
                 file=sys.stderr,
             )
             break
@@ -85,18 +157,7 @@ def main():
                   file=sys.stderr)
             continue
 
-    if value is None:
-        print(json.dumps({"metric": "grids_per_sec_per_chip_swinb_mae3d_160",
-                          "value": 0.0, "unit": "grids/s/chip",
-                          "vs_baseline": 0.0}))
-        return
-
-    print(json.dumps({
-        "metric": "grids_per_sec_per_chip_swinb_mae3d_160",
-        "value": round(value, 3),
-        "unit": "grids/s/chip",
-        "vs_baseline": round(value / BASELINE_GRIDS_PER_SEC, 3),
-    }))
+    _emit()
 
 
 if __name__ == "__main__":

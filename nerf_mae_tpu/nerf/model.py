@@ -8,7 +8,7 @@ core: 8x256 with a skip, density head + view-conditioned color head).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,10 +28,18 @@ class NeRFMLP(nn.Module):
     skip_at: int = 4
     pos_freqs: int = 10
     dir_freqs: int = 4
+    # >0: the color head is additionally conditioned on a per-image latent
+    # (the dense-depth-priors camera/appearance embedding, reference:
+    # data/scannet/run_nerf.py:298-359 — there optimized jointly with the
+    # network; our NeRFTrainer keeps the table in params["cam"]).
+    cam_embed_dim: int = 0
 
     @nn.compact
     def __call__(
-        self, xyz: jnp.ndarray, viewdir: jnp.ndarray
+        self,
+        xyz: jnp.ndarray,
+        viewdir: jnp.ndarray,
+        cam_embed: Optional[jnp.ndarray] = None,  # [..., cam_embed_dim]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """xyz [..., 3] (normalized to ~[-1, 1]), viewdir [..., 3] unit.
         Returns (rgb_logits [..., 3] pre-sigmoid, sigma_raw [...] pre-ReLU
@@ -47,8 +55,18 @@ class NeRFMLP(nn.Module):
         feat = nn.Dense(self.width, name="feat")(h)
         d = positional_encoding(viewdir, self.dir_freqs)
         d = jnp.broadcast_to(d, feat.shape[:-1] + (d.shape[-1],))
+        color_in = [feat, d]
+        if self.cam_embed_dim:
+            ce = (
+                cam_embed
+                if cam_embed is not None
+                else jnp.zeros(self.cam_embed_dim)  # test views: zero latent
+            )
+            color_in.append(
+                jnp.broadcast_to(ce, feat.shape[:-1] + (self.cam_embed_dim,))
+            )
         hc = nn.relu(nn.Dense(self.width // 2, name="color_fc")(
-            jnp.concatenate([feat, d], axis=-1)
+            jnp.concatenate(color_in, axis=-1)
         ))
         rgb = nn.Dense(3, name="rgb")(hc)
         return rgb, sigma

@@ -174,6 +174,111 @@ def render_rays_hierarchical(
     return out
 
 
+def sample_3sigma(
+    low: jnp.ndarray,  # [N] lower 3-sigma bound per ray
+    high: jnp.ndarray,  # [N] upper 3-sigma bound per ray
+    n_samples: int,
+    near: float,
+    far: float,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Samples from a truncated Gaussian spanning [low, high] (interpreted
+    as +-3 sigma), clamped to [near, far] — the dense-depth-priors
+    sample_3sigma (reference: data/scannet/run_nerf.py:708-719): bin edges
+    linspace(low, high), Gaussian pdf bin weights rescaled by the
+    clamp-compressed bin widths, then inverse-CDF sampling."""
+    t_vals = jnp.linspace(0.0, 1.0, n_samples)
+    step = (high - low) / (n_samples - 1)  # [N]
+    edges = jnp.clip(
+        low[:, None] * (1.0 - t_vals) + high[:, None] * t_vals, near, far
+    )  # [N, n]
+    factor = jnp.diff(edges, axis=1) / jnp.maximum(step[:, None], 1e-10)
+    x = jnp.linspace(-3.0, 3.0, n_samples - 1)
+    gauss = jnp.exp(-0.5 * x**2) / jnp.sqrt(2.0 * jnp.pi)
+    return sample_pdf(edges, factor * gauss, n_samples, rng)
+
+
+def depth_and_std(
+    t: jnp.ndarray, weights: jnp.ndarray  # [N, S] each
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expected depth and std of the ray's weight distribution
+    (reference: data/scannet/run_nerf.py:664-668 raw2depth)."""
+    depth = (weights * t).sum(axis=1)
+    var = ((t - depth[:, None]) ** 2 * weights).sum(axis=1)
+    return depth, jnp.sqrt(jnp.maximum(var, 0.0))
+
+
+def render_rays_depth_guided(
+    params,
+    model_apply,
+    rays_o: jnp.ndarray,  # [N, 3]
+    rays_d: jnp.ndarray,  # [N, 3]
+    near: float,
+    far: float,
+    target_depth: jnp.ndarray,  # [N] sensor depth (any value where invalid)
+    depth_low: jnp.ndarray,  # [N] lower 3-sigma bound of the sensor depth
+    depth_high: jnp.ndarray,  # [N] upper 3-sigma bound
+    valid_depth: jnp.ndarray,  # [N] bool: sensor depth usable for this ray
+    n_samples: int = 64,
+    rng: Optional[jax.Array] = None,
+    white_bkgd: bool = False,
+):
+    """Depth-guided two-pass sampling — the dense-depth-priors train path
+    (reference: data/scannet/run_nerf.py:846-902 + compute_samples_around_
+    depth :741-749 + forward_with_additonal_samples :752-781):
+
+      1. first n/2 samples uniformly along the whole ray -> coarse raw
+      2. second n/2 samples concentrated in a 3-sigma band: around the
+         *sensor* depth where it is valid, else around the *predicted*
+         depth/std from pass 1 (std floored at the pass-1 sample spacing)
+      3. both sample sets merged, sorted, composited together
+
+    TPU-native: the reference's boolean-indexed per-ray branches become
+    masked selects over the full ray batch (both 3-sigma candidate sample
+    sets are cheap [N, n/2] tensors; only the network evaluation — shared —
+    is expensive). Static shapes throughout; the sort is a single
+    jnp.argsort over n samples per ray. The guide samples are
+    stop_gradient'ed, matching the reference's .detach()."""
+    n = rays_o.shape[0]
+    half = n_samples // 2
+    rng_a, rng_b = (None, None) if rng is None else jax.random.split(rng)
+
+    t1 = _stratified(near, far, n, half, rng_a)
+    viewdir = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t1[..., None]
+    rgb1, sig1 = model_apply(params, pts, viewdir[:, None, :])
+    coarse = _composite(t1, rgb1, sig1, rays_d, white_bkgd)
+
+    # predicted-depth band (used where the sensor depth is invalid);
+    # lower_bound = coarse sample spacing (reference :758-760)
+    w = jax.lax.stop_gradient(coarse["weights"])
+    pred_depth, pred_std = depth_and_std(t1, w)
+    pred_std = jnp.maximum(pred_std, (far - near) / max(half - 1, 1))
+    lo = jnp.where(valid_depth, depth_low, pred_depth - 3.0 * pred_std)
+    hi = jnp.where(valid_depth, depth_high, pred_depth + 3.0 * pred_std)
+    t2 = jax.lax.stop_gradient(
+        sample_3sigma(jax.lax.stop_gradient(lo), jax.lax.stop_gradient(hi),
+                      half, near, far, rng_b)
+    )
+
+    pts2 = rays_o[:, None, :] + rays_d[:, None, :] * t2[..., None]
+    rgb2, sig2 = model_apply(params, pts2, viewdir[:, None, :])
+
+    t_all = jnp.concatenate([t1, t2], axis=1)
+    order = jnp.argsort(t_all, axis=1)
+    t_all = jnp.take_along_axis(t_all, order, axis=1)
+    rgb = jnp.take_along_axis(
+        jnp.concatenate([rgb1, rgb2], axis=1), order[..., None], axis=1
+    )
+    sig = jnp.take_along_axis(
+        jnp.concatenate([sig1, sig2], axis=1), order, axis=1
+    )
+    out = _composite(t_all, rgb, sig, rays_d, white_bkgd)
+    out["depth0"] = coarse["depth"]
+    out["acc0"] = coarse["acc"]
+    return out
+
+
 def depth_nll_loss(
     depth: jnp.ndarray,  # [N] rendered expected depth
     z_vals: jnp.ndarray,  # [N, S]

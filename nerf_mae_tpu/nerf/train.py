@@ -19,6 +19,7 @@ from nerf_mae_tpu.nerf.render import (
     depth_nll_loss,
     get_rays,
     render_rays,
+    render_rays_depth_guided,
     render_rays_hierarchical,
 )
 
@@ -32,6 +33,18 @@ class NeRFTrainer:
     n_samples: int = 64
     n_importance: int = 0  # >0 enables the coarse/fine hierarchical path
     depth_loss_weight: float = 0.0
+    # Depth-guided 3-sigma sampling (dense-depth-priors train path,
+    # reference: data/scannet/run_nerf.py:846-902): half the samples
+    # concentrate around the sensor depth (or, where invalid, the
+    # predicted depth). Mutually exclusive with n_importance.
+    depth_guided: bool = False
+    # Relative sensor noise: the 3-sigma band is depth * (1 +- 3*sigma_frac)
+    # (stands in for the reference's per-pixel completion uncertainty).
+    depth_sigma_frac: float = 0.03
+    # >0: per-training-view appearance latents, optimized jointly with the
+    # network in params["cam"] (reference: data/scannet/run_nerf.py:298-359).
+    # Test-time renders use a zero latent.
+    cam_embed_dim: int = 0
     lr: float = 5e-4
     ray_batch: int = 4096
     scene_scale: float = 1.0  # divides xyz before encoding
@@ -40,7 +53,12 @@ class NeRFTrainer:
 
     def __post_init__(self):
         if self.model is None:
-            self.model = NeRFMLP()
+            self.model = NeRFMLP(cam_embed_dim=self.cam_embed_dim)
+        if self.depth_guided and self.hierarchical:
+            raise ValueError(
+                "depth_guided replaces hierarchical sampling "
+                "(reference uses one or the other)"
+            )
         self.tx = optax.adam(self.lr)
 
         def apply(params, pts, viewdir):
@@ -55,7 +73,7 @@ class NeRFTrainer:
     def hierarchical(self) -> bool:
         return self.n_importance > 0
 
-    def init(self, rng: jax.Array):
+    def init(self, rng: jax.Array, n_views: int = 0):
         def one(r):
             return self.model.init(
                 r, jnp.zeros((1, 1, 3)), jnp.zeros((1, 1, 3))
@@ -66,24 +84,56 @@ class NeRFTrainer:
             params = {"coarse": one(rc), "fine": one(rf)}
         else:
             params = {"coarse": one(rng)}
+        if self.cam_embed_dim:
+            if n_views <= 0:
+                raise ValueError("cam_embed_dim > 0 requires n_views")
+            params["cam"] = jnp.zeros(
+                (n_views, self.cam_embed_dim), jnp.float32
+            )
         return params, self.tx.init(params)
 
-    def _render(self, params, rays_o, rays_d, rng):
+    def _make_apply(self, cam):
+        """model_apply closure conditioning the color head on a per-ray
+        camera latent [N, cam_embed_dim] (None -> unconditioned)."""
+        if cam is None:
+            return self._apply
+
+        def apply(params, pts, viewdir):
+            return self.model.apply(
+                {"params": params}, pts / self.scene_scale, viewdir,
+                cam[:, None, :],
+            )
+
+        return apply
+
+    def _render(self, params, rays_o, rays_d, rng,
+                target_depth=None, valid_depth=None, cam=None):
+        apply = self._make_apply(cam)
+        if self.depth_guided and target_depth is not None:
+            band = 3.0 * self.depth_sigma_frac * target_depth
+            return render_rays_depth_guided(
+                params["coarse"], apply, rays_o, rays_d,
+                self.near, self.far, target_depth,
+                target_depth - band, target_depth + band, valid_depth,
+                self.n_samples, rng, self.white_bkgd,
+            )
         if self.hierarchical:
             return render_rays_hierarchical(
-                params["coarse"], params["fine"], self._apply, rays_o, rays_d,
+                params["coarse"], params["fine"], apply, rays_o, rays_d,
                 self.near, self.far, self.n_samples, self.n_importance, rng,
                 self.white_bkgd,
             )
         return render_rays(
-            params["coarse"], self._apply, rays_o, rays_d, self.near,
+            params["coarse"], apply, rays_o, rays_d, self.near,
             self.far, self.n_samples, rng, self.white_bkgd,
         )
 
     def _train_step(self, params, opt_state, rays_o, rays_d, target_rgb,
-                    target_depth, valid_depth, rng):
+                    target_depth, valid_depth, view_idx, rng):
         def loss_fn(p):
-            out = self._render(p, rays_o, rays_d, rng)
+            cam = p["cam"][view_idx] if self.cam_embed_dim else None
+            out = self._render(p, rays_o, rays_d, rng,
+                               target_depth, valid_depth, cam)
             img_loss = ((out["rgb"] - target_rgb) ** 2).mean()
             loss = img_loss
             if self.hierarchical:  # coarse head trains too (:1326-1328)
@@ -142,7 +192,7 @@ class NeRFTrainer:
             val_depth = np.zeros(rays_o.shape[0], bool)
 
         rng = jax.random.PRNGKey(seed)
-        params, opt_state = self.init(rng)
+        params, opt_state = self.init(rng, n_views=v)
         rs = np.random.RandomState(seed)
         img_loss = np.inf
         for step in range(1, steps + 1):
@@ -151,6 +201,7 @@ class NeRFTrainer:
                 params, opt_state, jnp.asarray(rays_o[sel]),
                 jnp.asarray(rays_d[sel]), jnp.asarray(targets[sel]),
                 jnp.asarray(tgt_depth[sel]), jnp.asarray(val_depth[sel]),
+                jnp.asarray(sel // (h * w), jnp.int32),  # ray -> view
                 jax.random.fold_in(rng, step),
             )
             if step % log_every == 0:

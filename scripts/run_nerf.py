@@ -49,6 +49,14 @@ def parse_args(argv=None):
     p.add_argument("--depth_loss_weight", default=0.0, type=float,
                    help="Gaussian-NLL depth supervision weight "
                         "(reference: run_nerf.py --depth_loss_weight)")
+    p.add_argument("--depth_guided", action="store_true",
+                   help="3-sigma depth-guided sampling (dense-depth-priors "
+                        "train path, reference: run_nerf.py:846-902)")
+    p.add_argument("--depth_sigma_frac", default=0.03, type=float,
+                   help="relative sensor-depth noise for the 3-sigma band")
+    p.add_argument("--cam_embed_dim", default=0, type=int,
+                   help="per-view appearance latent size (reference: "
+                        "run_nerf.py:298-359); 0 disables")
     p.add_argument("--near", default=0.1, type=float)
     p.add_argument("--far", default=10.0, type=float)
     p.add_argument("--max_res", default=160, type=int)
@@ -120,10 +128,12 @@ def main(argv=None):
 
     trainer = NeRFTrainer(
         near=args.near, far=args.far, n_samples=args.n_samples,
-        n_importance=args.n_importance,
+        n_importance=0 if args.depth_guided else args.n_importance,
         depth_loss_weight=args.depth_loss_weight, lr=args.lr,
         ray_batch=args.ray_batch, scene_scale=scene_scale,
-        white_bkgd=args.white_bkgd,
+        white_bkgd=args.white_bkgd, depth_guided=args.depth_guided,
+        depth_sigma_frac=args.depth_sigma_frac,
+        cam_embed_dim=args.cam_embed_dim,
     )
 
     params = None

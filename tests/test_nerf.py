@@ -9,10 +9,13 @@ import pytest
 from nerf_mae_tpu.nerf.extract import extract_rgbsigma_grid
 from nerf_mae_tpu.nerf.model import NeRFMLP, positional_encoding
 from nerf_mae_tpu.nerf.render import (
+    depth_and_std,
     depth_nll_loss,
     get_rays,
     render_rays,
+    render_rays_depth_guided,
     render_rays_hierarchical,
+    sample_3sigma,
     sample_pdf,
 )
 from nerf_mae_tpu.nerf.train import NeRFTrainer
@@ -184,6 +187,95 @@ class TestHierarchical:
         # invalid-only -> zero contribution, no nan
         l_none = depth_nll_loss(depth, z, w, target, jnp.zeros(3, bool))
         assert float(l_none) == 0.0
+
+    def test_sample_3sigma_band_and_clamp(self):
+        low = jnp.array([1.0, 0.0])
+        high = jnp.array([2.0, 0.5])
+        t = np.asarray(sample_3sigma(low, high, 16, near=0.5, far=4.0))
+        assert t.shape == (2, 16)
+        # ray 0: samples inside [1, 2], concentrated near the center 1.5
+        assert t[0].min() >= 1.0 - 1e-5 and t[0].max() <= 2.0 + 1e-5
+        assert ((t[0] > 1.25) & (t[0] < 1.75)).mean() > 0.5
+        # ray 1: band clamped to near=0.5 -> all samples at/above near
+        assert t[1].min() >= 0.5 - 1e-5
+
+    def test_depth_and_std(self):
+        t = jnp.linspace(1.0, 3.0, 9)[None]
+        w = np.zeros((1, 9), np.float32)
+        w[0, 4] = 1.0  # all mass at t=2
+        d, s = depth_and_std(t, jnp.asarray(w))
+        assert float(d[0]) == pytest.approx(2.0)
+        assert float(s[0]) == pytest.approx(0.0, abs=1e-6)
+
+    def test_depth_guided_render_matches_analytic_scene(self):
+        # valid sensor depth on ray 0, invalid on ray 1 (predicted-depth
+        # branch); both should localize the sphere front surface at 1.5
+        o = jnp.array([[0.0, 0, 2.0], [0.0, 0, 2.0]])
+        d = jnp.array([[0.0, 0, -1.0], [0.0, 0, -1.0]])
+        td = jnp.array([1.5, 0.0])
+        out = render_rays_depth_guided(
+            None, analytic_apply, o, d, 0.5, 4.0,
+            target_depth=td, depth_low=td - 0.2, depth_high=td + 0.2,
+            valid_depth=jnp.array([True, False]), n_samples=32,
+        )
+        assert out["rgb"].shape == (2, 3)
+        assert abs(float(out["depth"][0]) - 1.5) < 0.05
+        assert abs(float(out["depth"][1]) - 1.5) < 0.15
+        assert float(out["acc"][0]) > 0.99
+        # merged z_vals are sorted per ray
+        z = np.asarray(out["z_vals"])
+        assert (np.diff(z, axis=1) >= 0).all()
+
+    def test_depth_guided_fit_runs_and_grads_flow(self):
+        h = w = 8
+        focal = 8.0
+        poses = np.stack([look_at((0, 2.0, 0))])
+        images = np.full((1, h, w, 3), 0.5, np.float32)
+        depths = np.full((1, h, w), 1.5, np.float32)
+        trainer = NeRFTrainer(
+            near=0.5, far=4.0, n_samples=16, ray_batch=64, lr=1e-3,
+            depth_guided=True,
+            model=NeRFMLP(depth=2, width=16, skip_at=1, pos_freqs=3,
+                          dir_freqs=2),
+        )
+        params, _ = trainer.fit(images, poses, focal, steps=3, log_every=10,
+                                depths=depths)
+        assert np.isfinite(
+            float(jnp.concatenate([
+                p.ravel() for p in jax.tree.leaves(params)
+            ]).sum())
+        )
+
+    def test_depth_guided_excludes_hierarchical(self):
+        with pytest.raises(ValueError):
+            NeRFTrainer(near=0.5, far=4.0, n_importance=8, depth_guided=True)
+
+    def test_cam_embed_trains_per_view_latents(self):
+        # two views of the same gray scene but with different exposures:
+        # only the per-view latent can explain the difference
+        h = w = 8
+        focal = 8.0
+        poses = np.stack([look_at((2, 0, 0)), look_at((0, 2, 0))])
+        images = np.stack([
+            np.full((h, w, 3), 0.25, np.float32),
+            np.full((h, w, 3), 0.75, np.float32),
+        ])
+        trainer = NeRFTrainer(
+            near=0.5, far=4.0, n_samples=16, ray_batch=128, lr=5e-3,
+            cam_embed_dim=4,
+            model=NeRFMLP(depth=2, width=16, skip_at=1, pos_freqs=3,
+                          dir_freqs=2, cam_embed_dim=4),
+        )
+        params, _ = trainer.fit(images, poses, focal, steps=30, log_every=50)
+        cam = np.asarray(params["cam"])
+        assert cam.shape == (2, 4)
+        # latents moved apart from the zero init
+        assert np.abs(cam[0] - cam[1]).max() > 1e-4
+        # test-time render (zero latent) still works
+        o = jnp.array([[0.0, 2.0, 0.0]])
+        d = jnp.array([[0.0, -1.0, 0.0]])
+        out = trainer.render_chunk(params, o, d)
+        assert np.isfinite(np.asarray(out["rgb"])).all()
 
     def test_depth_supervision_improves_depth(self):
         # one wall at z = -1.5 from the camera; rgb is uniform so only the
