@@ -162,7 +162,13 @@ def _pick_group_block(n_windows: int, num_heads: int, n: int, c: int,
 # fused block kernel. Numerics are pinned vs XLA in tests; flipped on once
 # Mosaic-validated on real TPU (kernel code is shape-generic, but large-C
 # VMEM budgets are empirical — see _pick_group_block).
-LARGE_C_ENABLED = os.environ.get("NERF_MAE_FUSED_BLOCK_LARGE_C", "0") == "1"
+LARGE_C_ENABLED = os.environ.get("NERF_MAE_FUSED_BLOCK_LARGE_C", "1") == "1"
+
+# Mosaic's default scoped-VMEM limit is 16 MB — the C=512 backward kernel
+# needs ~31 MB of stack (measured from the compile error this raises
+# without it: "Scoped allocation with size 31.26M and limit 16.00M").
+# v5e has 128 MB VMEM; 100 MB leaves headroom for double-buffered blocks.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def fused_block_supported(shape, window, num_heads, mlp_ratio) -> bool:
@@ -654,6 +660,7 @@ def fused_swin_block(
         ),
         out_shape=jax.ShapeDtypeStruct(xw.shape, d),
         interpret=jax.default_backend() != "tpu",
+        compiler_params=_VMEM_LIMIT,
     )(keep2, *operands)
     out = window_unpartition_3d(
         out.reshape(b, n_windows, n, c), window, counts
@@ -787,6 +794,7 @@ def _bwd(window, shift, num_heads, eps, residuals, g):
             jax.ShapeDtypeStruct((num_heads, m, m), f32),
         ),
         interpret=jax.default_backend() != "tpu",
+        compiler_params=_VMEM_LIMIT,
     )(keep2, *operands)
     (dxw, dln1_s, dln1_b, dqkv_w, dqkv_b, dproj_w, dproj_b, dln2_s, dln2_b,
      dfc1_w, dfc1_b, dfc2_w, dfc2_b, dlogit) = outs

@@ -46,8 +46,31 @@ def enable_compilation_cache():
         pass
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def maybe_profile(profile_dir):
+    """jax.profiler trace around the wrapped steps when profile_dir is set
+    (view with tensorboard / xprof). The TPU-side stand-in for the
+    reference's CUDA-event benchmark harness
+    (reference: nerf_rpn/run_fcos_pretrained.py:989-1014)."""
+    if not profile_dir:
+        yield
+        return
+    jax.profiler.start_trace(profile_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logging.getLogger("profile").info("trace written to %s", profile_dir)
+
+
 def add_common_flags(p):
     p.add_argument("--mode", default="train", choices=["train", "eval", "benchmark"])
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the benchmark steps "
+                        "(or the first --log_interval train steps) here")
     p.add_argument("--backbone_type", default="swin_s")
     p.add_argument("--resolution", default=160, type=int)
     p.add_argument("--batch_size", default=8, type=int)
@@ -124,19 +147,22 @@ def load_mae_params(mae_checkpoint_dir: str, mae_cfg):
     return restored["params"]
 
 
-def benchmark_step(step_fn, state, batch, reps: int = 20, warmup: int = 3):
+def benchmark_step(step_fn, state, batch, reps: int = 20, warmup: int = 3,
+                   profile_dir=None):
     """Latency harness (reference: run_fcos_pretrained.py:989-1014 uses CUDA
-    events; here block_until_ready timing)."""
+    events; here block_until_ready timing). profile_dir captures a
+    jax.profiler trace of the timed reps."""
     import time
 
     for _ in range(warmup):
         out = step_fn(state, batch)
     jax.block_until_ready(out)
     times = []
-    for _ in range(reps):
-        t = time.perf_counter()
-        out = step_fn(state, batch)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t)
+    with maybe_profile(profile_dir):
+        for _ in range(reps):
+            t = time.perf_counter()
+            out = step_fn(state, batch)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t)
     times = np.asarray(times) * 1000
     return float(times.mean()), float(times.std())

@@ -209,7 +209,8 @@ def main(argv=None):
 
     if args.mode == "benchmark":
         batch = next(batches)
-        mean, std = benchmark_step(trainer.predict_step, state, batch)
+        mean, std = benchmark_step(trainer.predict_step, state, batch,
+                                    profile_dir=args.profile_dir)
         log.info("inference: %.2f ± %.2f ms (batch %d)", mean, std, args.batch_size)
         return
 

@@ -165,7 +165,8 @@ def main(argv=None):
         return
     if args.mode == "benchmark":
         batch = next(batches)
-        mean, std = benchmark_step(trainer.predict_step, state, batch)
+        mean, std = benchmark_step(trainer.predict_step, state, batch,
+                                    profile_dir=args.profile_dir)
         log.info("inference: %.2f ± %.2f ms", mean, std)
         return
 
