@@ -124,3 +124,144 @@ def save_ngp_boxes(path: str, proposals: np.ndarray, meta: Dict):
     with open(path, "w") as f:
         json.dump({"bounding_boxes": proposals_to_ngp_boxes(proposals, meta)}, f,
                   indent=2)
+
+
+# ---------------------------------------------------------------------------
+# Image-space detection overlays (headless matplotlib)
+# Capability match for the reference's camera-view box visualizer
+# (reference: nerf_rpn/scripts/visualize_rpn_input.py:371-539 — there via
+# interactive open3d; here orbit cameras + z-buffer voxel splatting +
+# matplotlib edge drawing, so it runs on display-less TPU hosts).
+# ---------------------------------------------------------------------------
+
+_BOX_EDGES = [
+    (0, 1), (1, 3), (3, 2), (2, 0),  # bottom face
+    (4, 5), (5, 7), (7, 6), (6, 4),  # top face
+    (0, 4), (1, 5), (2, 6), (3, 7),  # verticals
+]
+
+
+def box_corners_3d(boxes: np.ndarray) -> np.ndarray:
+    """[N, 6] AABBs (min/max) or [N, 7] OBBs (cx cy cz w l h theta, z-axis
+    yaw — ops/rotated_iou.py convention) -> [N, 8, 3] corners. Corner order:
+    bit 0 = x, bit 1 = y, bit 2 = z (z-minor faces listed in _BOX_EDGES)."""
+    boxes = np.asarray(boxes, np.float32)
+    signs = np.array(
+        [[sx, sy, sz] for sz in (-0.5, 0.5) for sy in (-0.5, 0.5)
+         for sx in (-0.5, 0.5)], np.float32,
+    )  # [8, 3]
+    if boxes.shape[-1] == 6:
+        center = (boxes[:, :3] + boxes[:, 3:6]) / 2
+        extent = boxes[:, 3:6] - boxes[:, :3]
+        return center[:, None, :] + signs[None] * extent[:, None, :]
+    center, extent, theta = boxes[:, :3], boxes[:, 3:6], boxes[:, 6]
+    local = signs[None] * extent[:, None, :]  # [N, 8, 3]
+    c, s = np.cos(theta), np.sin(theta)
+    x = local[..., 0] * c[:, None] - local[..., 1] * s[:, None]
+    y = local[..., 0] * s[:, None] + local[..., 1] * c[:, None]
+    return np.stack(
+        [x + center[:, None, 0], y + center[:, None, 1],
+         local[..., 2] + center[:, None, 2]], axis=-1,
+    )
+
+
+def project_to_image(points: np.ndarray, w2c: np.ndarray,
+                     K: np.ndarray) -> np.ndarray:
+    """World points [N, 3] -> [N, 3] (u, v, depth). Same pixel formula as
+    ops/projection.py project_points (reference: rpn.py:91-103); depth > 0
+    means in front of the camera (whose z-axis points away from the
+    scene — see _look_at_rotation)."""
+    cam = points @ w2c[:3, :3].T + w2c[:3, 3]
+    depth = -cam[:, 2]
+    pix = cam @ K.T
+    z = np.where(np.abs(pix[:, 2:3]) < 1e-6, 1e-6, pix[:, 2:3])
+    uv = pix[:, :2] / z
+    return np.concatenate([uv, depth[:, None]], axis=-1)
+
+
+def splat_grid_view(rgbsigma: np.ndarray, w2c: np.ndarray, K: np.ndarray,
+                    hw=(480, 640), alpha_thresh: float = 0.01,
+                    point_px: int = 2) -> np.ndarray:
+    """Z-buffer splat of the occupied voxels into an [H, W, 3] image in
+    [0, 1] (the point-cloud 'context' view of visualize_rpn_input)."""
+    h, w = hw
+    img = np.full((h, w, 3), 0.08, np.float32)
+    pc = grid_to_pointcloud(rgbsigma, alpha_thresh)
+    if not len(pc["points"]):
+        return img
+    uvz = project_to_image(pc["points"] + 0.5, w2c, K)
+    ok = (uvz[:, 2] > 0)
+    uvz, colors = uvz[ok], pc["colors"][ok]
+    order = np.argsort(-uvz[:, 2])  # far -> near: later (near) wins
+    u = np.round(uvz[order, 0]).astype(int)
+    v = np.round(uvz[order, 1]).astype(int)
+    colors = colors[order]
+    for du in range(point_px):
+        for dv in range(point_px):
+            uu, vv = u + du, v + dv
+            ok = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+            img[vv[ok], uu[ok]] = colors[ok]
+    return img
+
+
+def render_detection_views(
+    rgbsigma: np.ndarray,  # (W, L, H, 4) channel-last scene grid
+    pred_boxes: np.ndarray,  # [N, 6|7] voxel coords
+    out_prefix: str,
+    pred_scores: Optional[np.ndarray] = None,
+    gt_boxes: Optional[np.ndarray] = None,  # [M, 6|7]
+    score_thresh: float = 0.5,
+    max_boxes: int = 50,
+    views: Optional[np.ndarray] = None,  # [V, 4, 4] w2c override
+) -> list:
+    """Overlay PNGs of predictions (red, score-labelled) and ground truth
+    (green) over splatted scene views. Default cameras: the four corner
+    orbit views of ops/projection.get_w2cs. Returns written paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from nerf_mae_tpu.ops.projection import _K, get_w2cs
+
+    res = int(max(rgbsigma.shape[:3]))
+    w2cs = views if views is not None else get_w2cs(res)
+    if pred_scores is not None and len(pred_boxes):
+        keep = np.argsort(-np.asarray(pred_scores))[:max_boxes]
+        keep = keep[np.asarray(pred_scores)[keep] >= score_thresh]
+        pred_boxes = np.asarray(pred_boxes)[keep]
+        pred_scores = np.asarray(pred_scores)[keep]
+    paths = []
+    for vi, w2c in enumerate(np.asarray(w2cs)):
+        img = splat_grid_view(rgbsigma, w2c, _K)
+        fig, ax = plt.subplots(figsize=(8, 6), dpi=100)
+        ax.imshow(img)
+        ax.set_axis_off()
+
+        def draw(boxes, color, scores=None):
+            if boxes is None or not len(boxes):
+                return
+            uvz = project_to_image(
+                box_corners_3d(boxes).reshape(-1, 3), w2c, _K
+            ).reshape(len(boxes), 8, 3)
+            for bi in range(len(boxes)):
+                if (uvz[bi, :, 2] <= 0).any():  # behind the camera
+                    continue
+                for e0, e1 in _BOX_EDGES:
+                    ax.plot(uvz[bi, [e0, e1], 0], uvz[bi, [e0, e1], 1],
+                            color=color, linewidth=1.2)
+                if scores is not None:
+                    top = uvz[bi, :, 1].argmin()
+                    ax.annotate(f"{scores[bi]:.2f}",
+                                (uvz[bi, top, 0], uvz[bi, top, 1] - 3),
+                                color=color, fontsize=7)
+
+        draw(gt_boxes, "#00d26a")
+        draw(pred_boxes, "#ff4d4d", pred_scores)
+        ax.set_xlim(0, img.shape[1])
+        ax.set_ylim(img.shape[0], 0)
+        path = f"{out_prefix}_view{vi}.png"
+        fig.savefig(path, bbox_inches="tight", pad_inches=0)
+        plt.close(fig)
+        paths.append(path)
+    return paths

@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import time
 
 import numpy as np
@@ -55,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--min_size", default=0.0, type=float)
     p.add_argument("--max_gt", default=64, type=int)
     p.add_argument("--out_channels", default=256, type=int)
+    p.add_argument("--output_proposals", default=None,
+                   help="eval mode: write per-scene npz (boxes, scores, "
+                        "gt_boxes) here for scripts/visualize_detections.py "
+                        "(reference: run_fcos_pretrained.py --save_results)")
     p.add_argument("--output_voxel_scores", default=None,
                    help="dir for per-voxel objectness npz dumps during eval "
                         "(reference: fcos/fcos.py:322 output_objectness)")
@@ -194,6 +199,15 @@ def main(argv=None):
                 props.append(boxes)
                 scores.append(det["scores"][i][keep])
                 gts.append(batch["gt_boxes"][i][batch["gt_valid"][i]])
+                if args.output_proposals:
+                    os.makedirs(args.output_proposals, exist_ok=True)
+                    np.savez_compressed(
+                        os.path.join(args.output_proposals,
+                                     f"scene_{len(props) - 1}.npz"),
+                        boxes=props[-1], scores=scores[-1], gt_boxes=gts[-1],
+                        grid=batch["grids"][i],
+                        size=batch["sizes"][i],
+                    )
         if not props:
             return {}
         out = detection_eval_summary(props, scores, gts)

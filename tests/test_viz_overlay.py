@@ -1,0 +1,87 @@
+"""Image-space detection overlay rendering (viz.py tail +
+scripts/visualize_detections.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nerf_mae_tpu.ops.projection import _K, get_w2cs, project_points
+from nerf_mae_tpu.viz import (
+    box_corners_3d,
+    project_to_image,
+    render_detection_views,
+    splat_grid_view,
+)
+
+pytestmark = pytest.mark.quick
+
+
+def test_box_corners_aabb():
+    c = box_corners_3d(np.array([[10, 20, 30, 20, 40, 60]], np.float32))
+    assert c.shape == (1, 8, 3)
+    np.testing.assert_allclose(c.min(axis=1)[0], [10, 20, 30])
+    np.testing.assert_allclose(c.max(axis=1)[0], [20, 40, 60])
+
+
+def test_box_corners_obb_rotates_footprint():
+    # yaw pi/2 swaps the xy extents, z untouched
+    c = box_corners_3d(
+        np.array([[0, 0, 0, 4, 2, 2, np.pi / 2]], np.float32)
+    )
+    np.testing.assert_allclose(
+        c.max(axis=1)[0] - c.min(axis=1)[0], [2, 4, 2], atol=1e-5
+    )
+
+
+def test_project_matches_projection_op():
+    import jax.numpy as jnp
+
+    w2c = get_w2cs(160)[0]
+    pts = np.random.RandomState(0).rand(32, 3).astype(np.float32) * 160
+    uvz = project_to_image(pts, w2c, _K)
+    ref = np.asarray(project_points(jnp.asarray(pts), jnp.asarray(w2c)))
+    np.testing.assert_allclose(uvz[:, :2], ref, atol=1e-3)
+    assert (uvz[:, 2] > 0).all()  # scene points sit in front of the camera
+
+
+def test_splat_paints_occupied_voxels():
+    g = np.zeros((32, 32, 32, 4), np.float32)
+    g[10:20, 10:20, 5:10] = [1, 0, 0, 1]
+    img = splat_grid_view(g, get_w2cs(32)[0], _K)
+    # red voxels visible: red channel dominates somewhere
+    assert (img[..., 0] > 0.9).sum() > 50
+    assert img.shape == (480, 640, 3)
+
+
+def test_render_detection_views_writes_pngs(tmp_path):
+    g = np.zeros((32, 32, 32, 4), np.float32)
+    g[10:20, 10:20, 5:10] = [1, 0, 0, 1]
+    paths = render_detection_views(
+        g,
+        pred_boxes=np.array([[10, 10, 5, 20, 20, 10]], np.float32),
+        pred_scores=np.array([0.9]),
+        gt_boxes=np.array([[9, 9, 4, 21, 21, 11]], np.float32),
+        out_prefix=str(tmp_path / "s"),
+    )
+    assert len(paths) == 4
+    for p in paths:
+        assert os.path.getsize(p) > 5000  # non-trivial image
+
+
+def test_visualize_detections_script(tmp_path):
+    from scripts.visualize_detections import main
+
+    g = np.zeros((16, 16, 16, 4), np.float32)
+    g[4:10, 4:10, 4:8] = [0, 1, 0, 1]
+    np.savez(
+        tmp_path / "scene_0.npz",
+        boxes=np.array([[4, 4, 4, 10, 10, 8]], np.float32),
+        scores=np.array([0.8]),
+        gt_boxes=np.array([[4, 4, 4, 10, 10, 8]], np.float32),
+        grid=g,
+    )
+    out = tmp_path / "out"
+    main(["--proposals", str(tmp_path / "scene_0.npz"),
+          "--out", str(out)])
+    assert len(list(out.glob("scene_0_view*.png"))) == 4
