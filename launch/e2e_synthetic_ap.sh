@@ -11,40 +11,45 @@ cd "$(dirname "$0")/.."
 OUT=${OUT:-runs/e2e_synthetic}
 RES=${RES:-96}
 BB=${BB:-swin_s}
-N_SCENES=${N_SCENES:-192}
+N_SCENES=${N_SCENES:-128}     # unlabeled pretraining corpus
+N_FT=${N_FT:-12}              # low-data finetune: the paper's claim regime
+N_VAL=${N_VAL:-24}            # held-out eval draw
 MAE_STEPS=${MAE_STEPS:-1500}
-DET_STEPS=${DET_STEPS:-600}
+DET_STEPS=${DET_STEPS:-500}
 BATCH=${BATCH:-8}
+HARD=${HARD:---synthetic_hard}  # clutter slabs/debris + small faint objects
 mkdir -p "$OUT"
 
-echo "=== 1/4: MAE pretrain ($MAE_STEPS steps @ $RES^3) ==="
-python scripts/run_mae_pretrain.py --mode train --dataset synthetic \
+echo "=== 1/4: MAE pretrain ($MAE_STEPS steps @ $RES^3, $N_SCENES scenes) ==="
+python scripts/run_mae_pretrain.py --mode train --dataset synthetic $HARD \
     --n_synthetic "$N_SCENES" --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --steps "$MAE_STEPS" --lr 1e-4 \
     --checkpoint_dir "$OUT/mae" --eval_interval 100000 \
     --ckpt_interval 100000 --log_interval 50
 
-echo "=== 2/4: FCOS finetune from the MAE trunk ==="
-python scripts/run_fcos.py --mode train --dataset synthetic \
-    --n_synthetic "$N_SCENES" --backbone_type "$BB" --resolution "$RES" \
+echo "=== 2/4: FCOS finetune from the MAE trunk ($N_FT scenes) ==="
+python scripts/run_fcos.py --mode train --dataset synthetic $HARD \
+    --n_synthetic "$N_FT" --seed 77 --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --steps "$DET_STEPS" --lr 3e-4 \
     --mae_checkpoint "$OUT/mae" --checkpoint_dir "$OUT/fcos_mae" \
     --eval_interval 100000 --ckpt_interval 100000 --log_interval 50
 
-echo "=== 3/4: FCOS from scratch (same budget) ==="
-python scripts/run_fcos.py --mode train --dataset synthetic \
-    --n_synthetic "$N_SCENES" --backbone_type "$BB" --resolution "$RES" \
+echo "=== 3/4: FCOS from scratch (same budget, same $N_FT scenes) ==="
+python scripts/run_fcos.py --mode train --dataset synthetic $HARD \
+    --n_synthetic "$N_FT" --seed 77 --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --steps "$DET_STEPS" --lr 3e-4 \
     --checkpoint_dir "$OUT/fcos_scratch" \
     --eval_interval 100000 --ckpt_interval 100000 --log_interval 50
 
-echo "=== 4/4: eval both on the held-out draw ==="
-python scripts/run_fcos.py --mode eval --dataset synthetic \
-    --n_synthetic "$N_SCENES" --backbone_type "$BB" --resolution "$RES" \
+echo "=== 4/4: eval both on the held-out draw ($N_VAL scenes) ==="
+python scripts/run_fcos.py --mode eval --dataset synthetic $HARD \
+    --n_synthetic "$N_FT" --n_synthetic_val "$N_VAL" --seed 77 \
+    --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --checkpoint "$OUT/fcos_mae" \
     --eval_json "$OUT/eval_mae.json"
-python scripts/run_fcos.py --mode eval --dataset synthetic \
-    --n_synthetic "$N_SCENES" --backbone_type "$BB" --resolution "$RES" \
+python scripts/run_fcos.py --mode eval --dataset synthetic $HARD \
+    --n_synthetic "$N_FT" --n_synthetic_val "$N_VAL" --seed 77 \
+    --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --checkpoint "$OUT/fcos_scratch" \
     --eval_json "$OUT/eval_scratch.json"
 

@@ -477,30 +477,62 @@ def detection_batch_iterator(
 
 def synthetic_detection_scenes(
     n: int, resolution: int = 160, seed: int = 0, min_size: int = None,
-    obb: bool = False,
+    obb: bool = False, hard: bool = False,
 ):
     """Synthetic scenes with box annotations for the blobs (AABB [N, 6] or
-    OBB [N, 7] with theta=0) — detection tests/benchmarks without real data."""
+    OBB [N, 7] with theta=0) — detection tests/benchmarks without real data.
+
+    hard=True is the low-data e2e distribution: more + smaller objects,
+    non-annotated clutter blobs (walls/floor-like slabs and debris), faint
+    per-object alpha, and background alpha noise — a scratch model has to
+    learn occupancy statistics from the few finetune scenes while a
+    pretrained trunk already carries them (the paper's low-data claim,
+    reference: README.md:205)."""
     rng = np.random.RandomState(seed)
     lo = min_size or int(resolution * 0.8)
     scenes = []
     for _ in range(n):
         size = rng.randint(lo, resolution + 1, 3)
         g = np.zeros((*size, 4), np.float32)
+        if hard:
+            # floor slab + one wall slab: large structures that are NOT
+            # objects, so objectness cannot be 'any occupied voxel'
+            fh = rng.randint(2, 5)
+            g[:, :, :fh, :3] = rng.rand(3) * 0.5
+            g[:, :, :fh, 3] = rng.uniform(0.4, 0.9)
+            ww = rng.randint(2, 4)
+            g[:ww, :, :, :3] = rng.rand(3) * 0.5
+            g[:ww, :, :, 3] = rng.uniform(0.4, 0.9)
+            for _ in range(rng.randint(4, 9)):  # debris clutter, unlabelled
+                c = rng.randint(3, size - 3, 3)
+                e = rng.randint(1, 3, 3)
+                s0, s1 = np.maximum(c - e, 0), np.minimum(c + e, size)
+                g[s0[0]:s1[0], s0[1]:s1[1], s0[2]:s1[2], :3] = rng.rand(3)
+                g[s0[0]:s1[0], s0[1]:s1[1], s0[2]:s1[2], 3] = rng.uniform(
+                    0.3, 0.8)
+            # low-alpha background noise everywhere
+            g[..., 3] += rng.rand(*size) * 0.05
         boxes = []
-        for _ in range(rng.randint(2, 6)):
+        n_obj = rng.randint(4, 10) if hard else rng.randint(2, 6)
+        for _ in range(n_obj):
             c = rng.randint(6, size - 6, 3)
-            e = rng.randint(3, max(min(size) // 4, 4), 3)
+            if hard:
+                e = rng.randint(2, max(min(size) // 8, 3), 3)
+            else:
+                e = rng.randint(3, max(min(size) // 4, 4), 3)
             s0 = np.maximum(c - e, 0)
             s1 = np.minimum(c + e, size)
             g[s0[0]:s1[0], s0[1]:s1[1], s0[2]:s1[2], :3] = rng.rand(3)
-            g[s0[0]:s1[0], s0[1]:s1[1], s0[2]:s1[2], 3] = rng.uniform(0.5, 1.0)
+            alpha = rng.uniform(0.3, 1.0) if hard else rng.uniform(0.5, 1.0)
+            g[s0[0]:s1[0], s0[1]:s1[1], s0[2]:s1[2], 3] = alpha
             if obb:
                 ctr = (s0 + s1) / 2
                 whd = (s1 - s0).astype(np.float32)
                 boxes.append([*ctr, *whd, 0.0])
             else:
                 boxes.append([*s0, *s1])
+        if hard:
+            np.clip(g[..., 3], 0.0, 1.0, out=g[..., 3])
         scenes.append({"rgbsigma": g, "boxes": np.asarray(boxes, np.float32)})
     return scenes
 

@@ -14,8 +14,16 @@ from nerf_mae_tpu.config import TrainConfig
 
 
 def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
+    total_steps = max(total_steps, 1)
+    # optax truncates the warmup boundary pct_start*total_steps to an int;
+    # when that is 0 (total_steps <= 1/pct_start, e.g. a 3-step smoke run)
+    # the zero-length interval divides 0/0 and sched(0) is nan, which the
+    # optimizer then broadcasts into every parameter. Such micro-runs get a
+    # constant lr instead — at <=3 steps a schedule is meaningless anyway.
+    if int(cfg.onecycle_pct_start * total_steps) < 1:
+        return optax.constant_schedule(cfg.lr)
     return optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 1),
+        transition_steps=total_steps,
         peak_value=cfg.lr,
         pct_start=cfg.onecycle_pct_start,
         div_factor=cfg.onecycle_div_factor,

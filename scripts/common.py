@@ -100,6 +100,12 @@ def add_common_flags(p):
     p.add_argument("--rotate_prob", default=0.0, type=float)
     p.add_argument("--rot_scale_prob", default=0.0, type=float)
     p.add_argument("--n_synthetic", default=16, type=int)
+    p.add_argument("--n_synthetic_val", default=0, type=int,
+                   help="held-out synthetic eval scenes (0: n_synthetic/4)")
+    p.add_argument("--synthetic_hard", action="store_true",
+                   help="harder synthetic distribution: clutter slabs/"
+                        "debris, smaller+fainter objects, alpha noise — "
+                        "the low-data e2e regime")
     p.add_argument("--workers", default=max((os.cpu_count() or 1) - 1, 0),
                    type=int, help="batch-assembly threads (0 = inline)")
     p.add_argument("--prefetch", default=2, type=int,

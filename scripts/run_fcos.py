@@ -79,13 +79,15 @@ def build_datasets(args):
                 return self.scenes[i]
 
         # disjoint val draw (seed offset) so eval measures generalization
+        hard = getattr(args, "synthetic_hard", False)
+        n_val = args.n_synthetic_val or max(args.n_synthetic // 4, 4)
         return (
             _DS(synthetic_detection_scenes(
                 args.n_synthetic, args.resolution, args.seed,
-                obb=args.rotated_bbox)),
+                obb=args.rotated_bbox, hard=hard)),
             _DS(synthetic_detection_scenes(
-                max(args.n_synthetic // 4, 4), args.resolution,
-                args.seed + 10_000, obb=args.rotated_bbox)),
+                n_val, args.resolution,
+                args.seed + 10_000, obb=args.rotated_bbox, hard=hard)),
         )
     split = load_split(args.dataset_split) if args.dataset_split else {}
     mk = lambda scene_list, aug: SceneDataset(
@@ -174,8 +176,6 @@ def main(argv=None):
             det = trainer.predict_step(state, shard_batch(batch, mesh))
             det = {k: np.asarray(v) for k, v in det.items()}
             if args.output_voxel_scores:
-                import os
-
                 os.makedirs(args.output_voxel_scores, exist_ok=True)
                 for i in range(batch["grids"].shape[0]):
                     dump = {}

@@ -67,7 +67,14 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_interval", default=500, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--n_synthetic", default=16, type=int)
+    p.add_argument("--n_synthetic_val", default=0, type=int,
+                   help="held-out synthetic eval scenes (0: n_synthetic/4)")
+    p.add_argument("--synthetic_hard", action="store_true",
+                   help="harder synthetic distribution (matches run_fcos "
+                        "--synthetic_hard for e2e pretrain->finetune)")
     p.add_argument("--eval_json", default=None, help="dump eval metrics to json")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of benchmark steps here")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="override jax platform (e.g. cpu for smoke runs)")
     p.add_argument("--log_dir", default=None, help="jsonl metric log dir")
@@ -98,11 +105,22 @@ def build_datasets(args):
                 return {"rgbsigma": self.scenes[i]}
 
         # disjoint val draw (seed offset) so eval PSNR measures generalization
+        if getattr(args, "synthetic_hard", False):
+            # pretrain on the same hard distribution the detector finetunes
+            # on (grids only; annotations unused by the MAE)
+            from nerf_mae_tpu.data.datasets import synthetic_detection_scenes
+
+            mk = lambda n, seed: [
+                s["rgbsigma"]
+                for s in synthetic_detection_scenes(
+                    n, args.resolution, seed, hard=True)
+            ]
+        else:
+            mk = lambda n, seed: synthetic_scenes(n, args.resolution, seed)
+        n_val = args.n_synthetic_val or max(args.n_synthetic // 4, 2)
         return (
-            _Synth(synthetic_scenes(args.n_synthetic, args.resolution,
-                                    args.seed)),
-            _Synth(synthetic_scenes(max(args.n_synthetic // 4, 2),
-                                    args.resolution, args.seed + 10_000)),
+            _Synth(mk(args.n_synthetic, args.seed)),
+            _Synth(mk(n_val, args.seed + 10_000)),
         )
     split = load_split(args.dataset_split) if args.dataset_split else {}
     train = SceneDataset(
@@ -213,14 +231,17 @@ def main(argv=None):
         return
 
     if args.mode == "benchmark":
+        from common import maybe_profile
+
         batch = next(batches)
         trainer.train_step(state, batch)  # compile
         reps, times = 20, []
-        for _ in range(reps):
-            t = time.perf_counter()
-            state, m = trainer.train_step(state, batch)
-            jax.block_until_ready(m["loss"])
-            times.append(time.perf_counter() - t)
+        with maybe_profile(args.profile_dir):
+            for _ in range(reps):
+                t = time.perf_counter()
+                state, m = trainer.train_step(state, batch)
+                jax.block_until_ready(m["loss"])
+                times.append(time.perf_counter() - t)
         times = np.asarray(times) * 1000
         log.info("train step: %.2f ± %.2f ms (batch %d)",
                  times.mean(), times.std(), args.batch_size)

@@ -61,22 +61,43 @@ def batch_iter(ds, args, shuffle=True, loop=True):
 
 def build_datasets(args):
     if args.dataset == "synthetic":
-        rs = np.random.RandomState(args.seed)
-        scenes = []
-        for _ in range(args.n_synthetic):
-            g = rs.rand(args.resolution, args.resolution, args.resolution, 4).astype(np.float32)
-            sem = rs.randint(0, args.num_classes,
-                             (args.resolution,) * 3).astype(np.int32)
-            scenes.append({"rgbsigma": g, "semantics": sem})
+        def mk(n, seed):
+            # blob scenes whose semantic label is learnable from the grid:
+            # each blob's class determines its color band (class 0 = empty)
+            rs = np.random.RandomState(seed)
+            r = args.resolution
+            scenes = []
+            for _ in range(n):
+                g = np.zeros((r, r, r, 4), np.float32)
+                sem = np.zeros((r, r, r), np.int32)
+                for _ in range(rs.randint(4, 9)):
+                    cls = rs.randint(1, args.num_classes)
+                    c = rs.randint(4, r - 4, 3)
+                    e = rs.randint(3, max(r // 5, 4), 3)
+                    s0, s1 = np.maximum(c - e, 0), np.minimum(c + e, r)
+                    sl = (slice(s0[0], s1[0]), slice(s0[1], s1[1]),
+                          slice(s0[2], s1[2]))
+                    base = (cls - 1) / max(args.num_classes - 1, 1)
+                    g[sl + (slice(0, 3),)] = np.clip(
+                        base + rs.randn(3) * 0.05, 0, 1)
+                    g[sl + (3,)] = rs.uniform(0.5, 1.0)
+                    sem[sl] = cls
+                scenes.append({"rgbsigma": g, "semantics": sem})
+            return scenes
 
         class _DS:
+            def __init__(self, scenes):
+                self.scenes = scenes
+
             def __len__(self):
-                return len(scenes)
+                return len(self.scenes)
 
             def __getitem__(self, i):
-                return scenes[i]
+                return self.scenes[i]
 
-        return _DS(), _DS()
+        n_val = args.n_synthetic_val or max(args.n_synthetic // 4, 2)
+        return (_DS(mk(args.n_synthetic, args.seed)),
+                _DS(mk(n_val, args.seed + 10_000)))
     split = load_split(args.dataset_split) if args.dataset_split else {}
     mk = lambda sl: SceneDataset(
         args.features_path, scene_list=sl, sem_feat_path=args.sem_feat_path,

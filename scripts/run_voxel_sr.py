@@ -29,7 +29,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="NeRF voxel super-resolution")
     add_common_flags(p)
     p.add_argument("--out_feat_path", default=None)
-    p.add_argument("--out_resolution", default=256, type=int, choices=[256, 384])
+    p.add_argument("--out_resolution", default=256, type=int,
+                   help="output grid edge (reference uses 256 or 384 from "
+                        "160^3 input; any multiple of the input works)")
     return p.parse_args(argv)
 
 
@@ -54,25 +56,33 @@ def batch_iter(ds, args, shuffle=True, loop=True):
 
 def build_datasets(args):
     if args.dataset == "synthetic":
-        rs = np.random.RandomState(args.seed)
-        scenes = []
-        for _ in range(args.n_synthetic):
-            hi = rs.rand(args.out_resolution, args.out_resolution,
-                         args.out_resolution, 4).astype(np.float32)
-            # low-res input = strided subsample of the high-res scene
+        from nerf_mae_tpu.data.datasets import synthetic_scenes
+
+        def mk(n, seed):
+            # structured blob scenes at full output resolution; low-res
+            # input = strided subsample (learnable SR, unlike iid noise)
+            his = synthetic_scenes(n, args.out_resolution, seed,
+                                   min_size=args.out_resolution)
             f = args.out_resolution / args.resolution
             idx = (np.arange(args.resolution) * f).astype(int)
-            lo = hi[idx][:, idx][:, :, idx]
-            scenes.append({"rgbsigma": lo, "out_rgbsigma": hi})
+            return [
+                {"rgbsigma": hi[idx][:, idx][:, :, idx], "out_rgbsigma": hi}
+                for hi in his
+            ]
 
         class _DS:
+            def __init__(self, scenes):
+                self.scenes = scenes
+
             def __len__(self):
-                return len(scenes)
+                return len(self.scenes)
 
             def __getitem__(self, i):
-                return scenes[i]
+                return self.scenes[i]
 
-        return _DS(), _DS()
+        n_val = args.n_synthetic_val or max(args.n_synthetic // 4, 2)
+        return (_DS(mk(args.n_synthetic, args.seed)),
+                _DS(mk(n_val, args.seed + 10_000)))
     split = load_split(args.dataset_split) if args.dataset_split else {}
     mk = lambda sl: SceneDataset(
         args.features_path, scene_list=sl, out_feat_path=args.out_feat_path,

@@ -68,6 +68,16 @@ class TestSchedule:
         assert lrs[1] == pytest.approx(1e-4, rel=1e-3)  # peak at pct_start
         assert lrs[2] < 1e-6  # annealed to peak/final_div
 
+    def test_tiny_total_steps_finite(self):
+        # regression: optax truncates pct_start*total_steps to int 0 for
+        # total_steps <= 3 and sched(0) became nan, nan-ing every param
+        # after the first update of any micro (smoke) run
+        cfg = TrainConfig(lr=1e-4)
+        for total in (1, 2, 3, 4, 5):
+            sched = make_schedule(cfg, total)
+            for s in range(total + 1):
+                assert np.isfinite(float(sched(s))), (total, s)
+
 
 class TestShardedTraining:
     def test_8device_train_step(self):
