@@ -19,14 +19,14 @@ BATCH=${BATCH:-8}
 mkdir -p "$OUT"
 
 echo "=== 1/4: MAE pretrain ($MAE_STEPS steps @ $RES^3) ==="
-python scripts/run_mae_pretrain.py --mode train --dataset synthetic \
+python scripts/run_mae_pretrain.py --mode train --dataset synthetic --transfer_dtype bfloat16 \
     --n_synthetic "$N_SCENES" --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --steps "$MAE_STEPS" --lr 1e-4 \
     --checkpoint_dir "$OUT/mae" --eval_interval 100000 \
     --ckpt_interval 100000 --log_interval 50
 
 echo "=== 2/4: VoxelSemantics finetune from the MAE trunk ==="
-python scripts/run_voxel_semantics.py --mode train --dataset synthetic \
+python scripts/run_voxel_semantics.py --mode train --dataset synthetic --transfer_dtype bfloat16 \
     --n_synthetic "$N_FT" --seed 77 --backbone_type "$BB" \
     --resolution "$RES" --num_classes "$N_CLASSES" \
     --batch_size "$BATCH" --steps "$SEM_STEPS" --lr 3e-4 \
@@ -34,7 +34,7 @@ python scripts/run_voxel_semantics.py --mode train --dataset synthetic \
     --eval_interval 100000 --ckpt_interval 100000 --log_interval 50
 
 echo "=== 3/4: VoxelSemantics from scratch (same budget) ==="
-python scripts/run_voxel_semantics.py --mode train --dataset synthetic \
+python scripts/run_voxel_semantics.py --mode train --dataset synthetic --transfer_dtype bfloat16 \
     --n_synthetic "$N_FT" --seed 77 --backbone_type "$BB" \
     --resolution "$RES" --num_classes "$N_CLASSES" \
     --batch_size "$BATCH" --steps "$SEM_STEPS" --lr 3e-4 \
