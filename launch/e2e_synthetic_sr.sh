@@ -7,7 +7,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 OUT=${OUT:-runs/e2e_synthetic_sr}
-RES=${RES:-48}
+RES=${RES:-64}
 OUT_RES=${OUT_RES:-96}
 BB=${BB:-swin_s}
 N_SCENES=${N_SCENES:-128}

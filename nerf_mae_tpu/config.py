@@ -116,6 +116,21 @@ class MAEConfig:
     #     (reference: swin_mae3d.py:1248-1257) for architecture-parity runs
     decoder_type: str = "subpixel"
 
+    def __post_init__(self):
+        # The UNETR decoder doubles the token grid at every skip level, so
+        # every intermediate stage size must halve exactly: resolution must
+        # be divisible by patch * 2^(n_stages - 1) (= 32 for the 4-stage
+        # presets; the reference's 160^3 satisfies this). Anything else
+        # fails deep in the decoder with a cryptic concat-shape error —
+        # surface it at construction instead.
+        div = self.swin.patch_size[0] * 2 ** (len(self.swin.depths) - 1)
+        if self.resolution % div:
+            raise ValueError(
+                f"resolution {self.resolution} must be a multiple of {div} "
+                f"(patch {self.swin.patch_size[0]} x 2^{len(self.swin.depths) - 1} "
+                f"patch-merging levels) for UNETR skip alignment"
+            )
+
     @property
     def token_grid(self) -> int:
         return self.resolution // self.swin.patch_size[0]

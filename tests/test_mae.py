@@ -172,7 +172,8 @@ class TestTrainingSignal:
         assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
-@pytest.mark.quick
+# not `quick`: two un-jitted full model.apply's dominate the quick tier
+# (112 s of its ~207 s on this 1-core host; see pytest.ini tier budgets)
 def test_patched_pred_is_exact_patchify_permutation():
     """SwinMAE3D(patched_pred=True) must equal patchify_3d of the voxel
     prediction bit-for-bit (it is the same reshape, not a recompute)."""
