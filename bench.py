@@ -76,8 +76,9 @@ def main():
     t_start = time.monotonic()
 
     profile_dir = os.environ.get("NERF_MAE_PROFILE_DIR")
-    if "--profile_dir" in sys.argv:
-        profile_dir = sys.argv[sys.argv.index("--profile_dir") + 1]
+    i = sys.argv.index("--profile_dir") if "--profile_dir" in sys.argv else -1
+    if 0 <= i < len(sys.argv) - 1:
+        profile_dir = sys.argv[i + 1]
 
     try:  # persistent compile cache: warm re-runs skip the ~5 min compile
         cache_dir = os.path.expanduser("~/.cache/nerf_mae_tpu/xla")
@@ -129,16 +130,21 @@ def main():
             reps = 10
             if profile_dir:
                 jax.profiler.start_trace(profile_dir)
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                state, m = trainer.train_step(state, batch)
-            # block via host transfer: block_until_ready through the remote
-            # tunnel can ack at dispatch, not completion
-            _ = float(m["loss"])
-            dt = (time.perf_counter() - t0) / reps
-            if profile_dir:
-                jax.profiler.stop_trace()
-                print(f"# profiler trace -> {profile_dir}", file=sys.stderr)
+            try:
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    state, m = trainer.train_step(state, batch)
+                # block via host transfer: block_until_ready through the
+                # remote tunnel can ack at dispatch, not completion
+                _ = float(m["loss"])
+                dt = (time.perf_counter() - t0) / reps
+            finally:
+                # an open trace would make every fallback probe's
+                # start_trace raise and turn a recoverable OOM into value 0
+                if profile_dir:
+                    jax.profiler.stop_trace()
+                    print(f"# profiler trace -> {profile_dir}",
+                          file=sys.stderr)
             value = batch_size / dt / n_chips
             _state.update(
                 value=value,

@@ -17,7 +17,7 @@ N_VAL=${N_VAL:-24}            # held-out eval draw
 MAE_STEPS=${MAE_STEPS:-1500}
 DET_STEPS=${DET_STEPS:-500}
 BATCH=${BATCH:-8}
-HARD=${HARD:---synthetic_hard}  # clutter slabs/debris + small faint objects
+HARD=${HARD---synthetic_hard}   # export HARD= to opt out  # clutter slabs/debris + small faint objects
 mkdir -p "$OUT"
 
 echo "=== 1/4: MAE pretrain ($MAE_STEPS steps @ $RES^3, $N_SCENES scenes) ==="

@@ -43,19 +43,19 @@ def mae_flops_per_grid(cfg: MAEConfig) -> Dict[str, float]:
 
     # encoder stages: per block qkv(6NC^2) + attn(4*N*w*C) + proj(2NC^2)
     # + mlp(2 * N * C * mlp_ratio*C * 2)
+    dims = s.stage_dims  # honors expand_dim (models/swin.py PatchMerging3D)
     mlp_mult = 2.0 * 2.0 * s.mlp_ratio  # two GEMMs of C x (ratio*C)
     for i, depth in enumerate(s.depths):
         N = (T // 2**i) ** 3
-        C = E * 2**i if s.expand_dim else E * min(2**i, 8)
+        C = dims[i]
         per_block = (6.0 + 2.0 + mlp_mult) * N * C * C
         per_block += 4.0 * N * w_tokens * C
         comp[f"stage{i}"] = depth * per_block
 
-    # patch merges between stages: N' voxels, 8C -> 2C linear
+    # patch merges between stages: N' voxels, 8C -> next-stage-C linear
     for i in range(len(s.depths) - 1):
         Np = (T // 2 ** (i + 1)) ** 3
-        C = E * 2**i
-        comp[f"merge{i}"] = 2.0 * Np * (8 * C) * (2 * C)
+        comp[f"merge{i}"] = 2.0 * Np * (8 * dims[i]) * dims[i + 1]
 
     # UNETR decoder: decoder4/3/2 each = ConvTranspose k=s=2 + res block
     # (conv3^3 x2 + 1x1 shortcut) after skip concat; channels from

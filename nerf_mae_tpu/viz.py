@@ -231,6 +231,10 @@ def render_detection_views(
         keep = keep[np.asarray(pred_scores)[keep] >= score_thresh]
         pred_boxes = np.asarray(pred_boxes)[keep]
         pred_scores = np.asarray(pred_scores)[keep]
+    elif pred_boxes is not None:
+        # score-less proposal dumps still honor the top-N cap (in file
+        # order) so a 2500-proposal npz doesn't render 60k edges per view
+        pred_boxes = np.asarray(pred_boxes)[:max_boxes]
     paths = []
     for vi, w2c in enumerate(np.asarray(w2cs)):
         img = splat_grid_view(rgbsigma, w2c, _K)

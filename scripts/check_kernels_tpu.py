@@ -91,8 +91,9 @@ def _errs(got, want):
 
 def main():
     out_path = "runs/kernel_numerics_tpu.json"
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+    i = sys.argv.index("--out") if "--out" in sys.argv else -1
+    if 0 <= i < len(sys.argv) - 1:
+        out_path = sys.argv[i + 1]
 
     results = {"backend": jax.default_backend(),
                "device": str(jax.devices()[0])}
@@ -108,9 +109,9 @@ def main():
         # pad-row masking
         ("block_c32_padded", 32, 4, (0, 0, 0), (6, 7, 5)),
     ]
-    if "--cases" in sys.argv:  # substring filter (CPU smoke / bisect)
-        pat = sys.argv[sys.argv.index("--cases") + 1]
-        cases = [c for c in cases if pat in c[0]]
+    i = sys.argv.index("--cases") if "--cases" in sys.argv else -1
+    if 0 <= i < len(sys.argv) - 1:  # substring filter (CPU smoke / bisect)
+        cases = [c for c in cases if sys.argv[i + 1] in c[0]]
     for name, c, heads, shift, grid in cases:
         t0 = time.time()
         x = jax.random.normal(key, (2, *grid, c), jnp.float32)

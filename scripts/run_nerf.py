@@ -54,6 +54,11 @@ def parse_args(argv=None):
                         "train path, reference: run_nerf.py:846-902)")
     p.add_argument("--depth_sigma_frac", default=0.03, type=float,
                    help="relative sensor-depth noise for the 3-sigma band")
+    p.add_argument("--depth_dir", default=None,
+                   help="directory of 16-bit depth PNGs named like the rgb "
+                        "frames (used when frames[] lack depth_file_path)")
+    p.add_argument("--depth_scale", default=1000.0, type=float,
+                   help="depth PNG units per meter (ScanNet mm: 1000)")
     p.add_argument("--cam_embed_dim", default=0, type=int,
                    help="per-view appearance latent size (reference: "
                         "run_nerf.py:298-359); 0 disables")
@@ -71,14 +76,19 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def load_scene(scene_dir: str, transforms: str, downscale: int):
+def load_scene(scene_dir: str, transforms: str, downscale: int,
+               depth_dir: str = None, depth_scale: float = 1000.0):
     """instant-ngp transforms.json: camera_angle_x + frames[].file_path /
-    transform_matrix."""
+    transform_matrix. Sensor depth (for --depth_guided / --depth_loss_weight,
+    reference: data/scannet/run_nerf.py:846-902) comes from a frame's
+    `depth_file_path` or, failing that, `<depth_dir>/<rgb filename>`:
+    16-bit PNGs in 1/depth_scale units (ScanNet: millimeters), 0 = invalid.
+    Returns (images, poses, focal, depths | None, valid | None)."""
     from PIL import Image
 
     with open(os.path.join(scene_dir, transforms)) as f:
         meta = json.load(f)
-    images, poses = [], []
+    images, poses, depths = [], [], []
     for fr in meta["frames"]:
         path = os.path.join(scene_dir, fr["file_path"])
         if not os.path.splitext(path)[1]:
@@ -91,11 +101,32 @@ def load_scene(scene_dir: str, transforms: str, downscale: int):
             arr = arr[..., :3] * arr[..., 3:]
         images.append(arr)
         poses.append(np.asarray(fr["transform_matrix"], np.float32))
+        dpath = fr.get("depth_file_path")
+        dpath = os.path.join(scene_dir, dpath) if dpath else (
+            os.path.join(depth_dir, os.path.basename(path))
+            if depth_dir else None
+        )
+        if dpath and os.path.exists(dpath):
+            dimg = Image.open(dpath)
+            if downscale > 1:  # NEAREST: no interpolation across the 0s
+                dimg = dimg.resize(
+                    (dimg.width // downscale, dimg.height // downscale),
+                    Image.NEAREST,
+                )
+            depths.append(np.asarray(dimg, np.float32) / depth_scale)
+        else:
+            depths.append(None)
     images = np.stack(images)
     poses = np.stack(poses)
     h, w = images.shape[1:3]
     focal = 0.5 * w / np.tan(0.5 * meta["camera_angle_x"])
-    return images, poses, focal
+    if any(d is not None for d in depths):
+        depths = np.stack([
+            d if d is not None else np.zeros((h, w), np.float32)
+            for d in depths
+        ])
+        return images, poses, focal, depths, depths > 0
+    return images, poses, focal, None, None
 
 
 def scene_bounds(args, poses):
@@ -119,10 +150,21 @@ def main(argv=None):
     setup(args)
     log = logging.getLogger("run_nerf")
 
-    images, poses, focal = load_scene(args.scene_dir, args.transforms,
-                                      args.downscale)
-    log.info("scene: %d views %dx%d focal %.1f", len(images),
-             images.shape[2], images.shape[1], focal)
+    images, poses, focal, depths, valid_depths = load_scene(
+        args.scene_dir, args.transforms, args.downscale,
+        depth_dir=args.depth_dir, depth_scale=args.depth_scale,
+    )
+    log.info("scene: %d views %dx%d focal %.1f depth maps: %s", len(images),
+             images.shape[2], images.shape[1], focal,
+             "none" if depths is None
+             else f"{int((valid_depths.sum(axis=(1, 2)) > 0).sum())} views")
+    if depths is None and (args.depth_guided or args.depth_loss_weight > 0):
+        log.warning(
+            "--depth_guided/--depth_loss_weight requested but no depth maps "
+            "were found (frames[].depth_file_path or --depth_dir): sampling "
+            "falls back to the predicted-depth band and the depth NLL loss "
+            "is inactive"
+        )
     bbox_min, bbox_max = scene_bounds(args, poses)
     scene_scale = float(np.abs(np.concatenate([bbox_min, bbox_max])).max())
 
@@ -139,7 +181,8 @@ def main(argv=None):
     params = None
     if args.task in ("train", "train_extract"):
         params, psnr = trainer.fit(images, poses, focal, steps=args.steps,
-                                   seed=args.seed)
+                                   seed=args.seed, depths=depths,
+                                   valid_depths=valid_depths)
         log.info("trained: final train PSNR %.2f", psnr)
         if args.params_out:
             import pickle
