@@ -198,3 +198,17 @@ def test_patched_pred_is_exact_patchify_permutation():
     l1, _ = mae_loss(vox, g, tm, sizes, cfg)
     l2, _ = mae_loss(pat, g, tm, sizes, cfg)
     np.testing.assert_allclose(float(l1), float(l2), rtol=0, atol=0)
+
+
+@pytest.mark.quick
+def test_config_rejects_unaligned_resolution():
+    """UNETR skip alignment: resolution must divide by patch*2^(stages-1)
+    or construction fails with a clear error (not a deep concat crash)."""
+    for ok in (32, 64, 96, 160):
+        MAEConfig(swin=SwinConfig(embed_dim=12, depths=(1, 1, 2, 1),
+                                  num_heads=(3, 6, 12, 24)), resolution=ok)
+    for bad in (16, 48, 80):
+        with pytest.raises(ValueError, match="multiple of 32"):
+            MAEConfig(swin=SwinConfig(embed_dim=12, depths=(1, 1, 2, 1),
+                                      num_heads=(3, 6, 12, 24)),
+                      resolution=bad)

@@ -296,3 +296,59 @@ class TestHierarchical:
         out = t_d.render_chunk(p_d, o, d)
         err_d = abs(float(out["depth"][0]) - 3.5)
         assert err_d < 0.6, err_d
+
+
+@pytest.mark.quick
+class TestSceneLoading:
+    """scripts/run_nerf.py load_scene: rgb + sensor-depth plumbing
+    (reference depth conventions: data/scannet/run_nerf.py:846-902)."""
+
+    def _write_scene(self, d, with_depth):
+        import json as _json
+        import os as _os
+
+        from PIL import Image
+
+        _os.makedirs(f"{d}/images", exist_ok=True)
+        if with_depth:
+            _os.makedirs(f"{d}/depth", exist_ok=True)
+        frames = []
+        for i in range(2):
+            img = (np.random.rand(8, 12, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(f"{d}/images/f{i}.png")
+            if with_depth:
+                dep = np.full((8, 12), 1500, np.uint16)
+                dep[:2] = 0  # invalid band
+                Image.fromarray(dep).save(f"{d}/depth/f{i}.png")
+            pose = np.eye(4)
+            frames.append({"file_path": f"images/f{i}.png",
+                           "transform_matrix": pose.tolist()})
+        with open(f"{d}/transforms.json", "w") as f:
+            _json.dump({"camera_angle_x": 0.9, "frames": frames}, f)
+
+    def test_depth_maps_loaded_and_scaled(self, tmp_path):
+        import sys as _sys
+
+        _sys.path.insert(0, "scripts")
+        from run_nerf import load_scene
+
+        d = str(tmp_path)
+        self._write_scene(d, with_depth=True)
+        images, poses, focal, depths, valid = load_scene(
+            d, "transforms.json", 1, depth_dir=f"{d}/depth",
+            depth_scale=1000.0)
+        assert images.shape == (2, 8, 12, 3) and poses.shape == (2, 4, 4)
+        assert depths.shape == (2, 8, 12)
+        np.testing.assert_allclose(depths[0, 4, 4], 1.5)  # mm -> m
+        assert not valid[:, :2].any() and valid[:, 2:].all()
+
+    def test_no_depth_returns_none(self, tmp_path):
+        import sys as _sys
+
+        _sys.path.insert(0, "scripts")
+        from run_nerf import load_scene
+
+        d = str(tmp_path)
+        self._write_scene(d, with_depth=False)
+        _, _, _, depths, valid = load_scene(d, "transforms.json", 1)
+        assert depths is None and valid is None
