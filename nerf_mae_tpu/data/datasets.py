@@ -517,7 +517,10 @@ def synthetic_detection_scenes(
         for _ in range(n_obj):
             c = rng.randint(6, size - 6, 3)
             if hard:
-                e = rng.randint(2, max(min(size) // 8, 3), 3)
+                # cap >= 5 so small resolutions still draw varied extents
+                # (at 32^3 the //8 cap collapsed every box to exactly 4^3,
+                # making the normalized target volume a constant)
+                e = rng.randint(2, max(min(size) // 8, 5), 3)
             else:
                 e = rng.randint(3, max(min(size) // 4, 4), 3)
             s0 = np.maximum(c - e, 0)

@@ -97,9 +97,24 @@ class FCOSHead(nn.Module):
             bias_init=nn.initializers.constant(-np.log((1 - prior) / prior)),
             name="cls_logits",
         )
+        def _reg_bias_init(key, shape, dtype=jnp.float32):
+            # Distance channels start at 0.5 (half a stride in normalized
+            # units) so initial boxes are ~unit cubes with real overlap.
+            # The reference's relu(norm_reg_targets) head starts at
+            # relu(~0) = 0 where the +1-smoothed IoU loss has a flat spot
+            # (d inter/d pred is a product of two ~zero extents while the
+            # union term pushes volume further down) — a degenerate
+            # attractor that froze reg at -log(1/2) in low-data runs.
+            # Standard FCOS avoids it via exp(0) = 1; this matches that
+            # operating point. OBB midpoint channels (6:) stay 0.
+            del key
+            b = jnp.zeros(shape, dtype)
+            return b.at[:6].set(0.5)
+
         bbox_pred = nn.Conv(
             cfg.reg_dim, (3, 3, 3), padding="SAME", dtype=self.dtype,
-            kernel_init=conv_init, name="bbox_pred",
+            kernel_init=conv_init, bias_init=_reg_bias_init,
+            name="bbox_pred",
         )
         centerness = nn.Conv(
             1, (3, 3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_init,

@@ -258,3 +258,27 @@ class TestDetectionEval:
             "ap25", "ap50", "ap75",
         }
         assert out["ap50"] == 1.0
+
+
+@pytest.mark.quick
+def test_bbox_pred_bias_init_breaks_zero_volume_plateau():
+    """The relu(norm_reg_targets) head must NOT start at zero-volume boxes:
+    the +1-smoothed IoU loss has a flat spot there (d inter/d pred is a
+    product of two ~zero extents) that froze reg at -log(1/2) in low-data
+    runs. Distance channels start at 0.5; OBB midpoint channels at 0."""
+    import numpy as np
+
+    from nerf_mae_tpu.config import SWIN_PRESETS, TrainConfig
+    from nerf_mae_tpu.parallel import make_mesh
+    from nerf_mae_tpu.train.det_trainer import DetectionTrainer
+
+    mesh = make_mesh()
+    tr = DetectionTrainer(
+        SWIN_PRESETS["swin_nano"], FCOSConfig(resolution=32, use_obb=True),
+        TrainConfig(batch_size=2), 10, mesh, backbone="swin_nano",
+        compute_dtype="float32", remat=False,
+    )
+    state = tr.init(jax.random.PRNGKey(0))
+    bias = np.asarray(state.params["head"]["bbox_pred"]["bias"])
+    np.testing.assert_array_equal(bias[:6], 0.5)
+    np.testing.assert_array_equal(bias[6:], 0.0)
