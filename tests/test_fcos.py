@@ -282,3 +282,26 @@ def test_bbox_pred_bias_init_breaks_zero_volume_plateau():
     bias = np.asarray(state.params["head"]["bbox_pred"]["bias"])
     np.testing.assert_array_equal(bias[:6], 0.5)
     np.testing.assert_array_equal(bias[6:], 0.0)
+
+
+@pytest.mark.quick
+def test_synthetic_hard_scenes_are_discriminative():
+    """hard=True must produce the low-data e2e distribution: varied box
+    extents (not a single size — that made the normalized IoU-loss target
+    volume a constant), unlabeled clutter (occupied voxels outside every
+    GT box), and background alpha noise."""
+    scenes = synthetic_detection_scenes(4, 32, seed=3, hard=True)
+    edges = np.concatenate(
+        [s["boxes"][:, 3:] - s["boxes"][:, :3] for s in scenes]
+    ).ravel()
+    assert len(np.unique(edges)) >= 2, np.unique(edges)
+    s = scenes[0]
+    inside = np.zeros(s["rgbsigma"].shape[:3], bool)
+    for b in s["boxes"].astype(int):
+        inside[b[0]:b[3], b[1]:b[4], b[2]:b[5]] = True
+    occupied = s["rgbsigma"][..., 3] > 0.25
+    # slabs + debris are occupied but not annotated
+    assert (occupied & ~inside).sum() > occupied.sum() * 0.3
+    # background noise floor present, alpha clipped to [0, 1]
+    assert (s["rgbsigma"][..., 3] > 0).mean() > 0.9
+    assert s["rgbsigma"][..., 3].max() <= 1.0
