@@ -103,6 +103,9 @@ def main():
     )
 
     rng = np.random.RandomState(0)
+    # NERF_MAE_PATCH_MAJOR=1: measure the host-pre-patchified input path
+    # (dense patch embed; MAEConfig.patch_major_input)
+    patch_major = os.environ.get("NERF_MAE_PATCH_MAJOR", "0") == "1"
     # batch 8/chip is the measured operating point (PERF.md); try it first —
     # larger batches OOM on v5e and each failed probe costs a ~5 min remote
     # compile. Fallback probes run only while the budget allows.
@@ -116,9 +119,14 @@ def main():
         try:
             trainer = MAETrainer(cfg, TrainConfig(batch_size=batch_size), 1000, mesh)
             state = trainer.init(jax.random.PRNGKey(0))
+            grids = rng.rand(batch_size, 160, 160, 160, 4).astype(np.float32)
+            if patch_major:
+                from nerf_mae_tpu.ops.patchify import patchify_np
+
+                grids = patchify_np(grids, cfg.swin.patch_size[0])
             batch = shard_batch(
                 {
-                    "grids": rng.rand(batch_size, 160, 160, 160, 4).astype(np.float32),
+                    "grids": grids,
                     "sizes": np.full((batch_size, 3), 160, np.int32),
                 },
                 mesh,

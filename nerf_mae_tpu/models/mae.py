@@ -35,6 +35,53 @@ from nerf_mae_tpu.ops.patchify import patchify_3d, voxel_validity_mask
 from nerf_mae_tpu.ops.pos_embed import sincos_pos_embed_3d
 
 
+class _PatchEmbed(nn.Module):
+    """Patch embedding with two equivalent compute paths over ONE param set
+    (kernel [p, p, p, Cin, E] + bias [E], tree-identical to nn.Conv so
+    checkpoints interop):
+
+      * voxel path: Conv k=s=patch over [B, R, R, R, Cin] — the reference
+        formulation (reference: swin_mae3d.py:1120-1129)
+      * patched path: dense einsum over host-pre-patchified input
+        [B, T, T, T, p^3, Cin] (see patchify_3d — its (i, j, k) C-order
+        flatten matches the conv kernel layout). The conv's cost on TPU is
+        dominated by the 4-channel-minor input layout transpose
+        (PERF.md "patch-embed reformulations"); pre-patchifying on the
+        (pipelined) host turns it into one MXU-friendly [.., p^3*Cin] @ E
+        matmul with K = 256.
+    """
+
+    embed_dim: int
+    patch: int
+    in_channels: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, p, self.in_channels, self.embed_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        if x.ndim == 6:  # patched input [B, T, T, T, p^3, Cin]
+            k = kernel.astype(self.dtype).reshape(
+                p**3 * self.in_channels, self.embed_dim
+            )
+            b_, t = x.shape[0], x.shape[1]
+            flat = x.astype(self.dtype).reshape(b_, t, t, t, -1)
+            return flat @ k + bias.astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(p, p, p),
+            padding="VALID",
+            dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        )
+        return out + bias.astype(self.dtype)
+
+
 class SwinMAE3D(nn.Module):
     cfg: MAEConfig
 
@@ -43,11 +90,10 @@ class SwinMAE3D(nn.Module):
         dtype = cfg.dtype
         # patch embedding: Conv k=s=patch + LayerNorm
         # (reference: swin_mae3d.py:1120-1129)
-        self.patch_embed = nn.Conv(
+        self.patch_embed = _PatchEmbed(
             cfg.swin.embed_dim,
-            tuple(cfg.swin.patch_size),
-            strides=tuple(cfg.swin.patch_size),
-            padding="VALID",
+            cfg.swin.patch_size[0],
+            in_channels=cfg.input_channels,
             dtype=dtype,
         )
         self.patch_norm = nn.LayerNorm(epsilon=cfg.swin.norm_eps, dtype=jnp.float32)
@@ -89,7 +135,9 @@ class SwinMAE3D(nn.Module):
             self.out_head = UnetOutBlock3D(cfg.out_channels, dtype=dtype)
 
     def embed(self, grids: jnp.ndarray) -> jnp.ndarray:
-        """Patch-embed + pos-embed: [B, R, R, R, 4] -> [B, T, T, T, C]."""
+        """Patch-embed + pos-embed -> [B, T, T, T, C]. Input is either the
+        voxel grid [B, R, R, R, 4] or its host-patchified form
+        [B, T, T, T, p^3, 4] (cfg.patch_major_input train fast path)."""
         cfg = self.cfg
         x = self.patch_embed(grids.astype(cfg.dtype))
         x = self.patch_norm(x).astype(cfg.dtype)
@@ -98,7 +146,7 @@ class SwinMAE3D(nn.Module):
 
     def __call__(
         self,
-        grids: jnp.ndarray,  # [B, R, R, R, 4] channel-last rgbsigma
+        grids: jnp.ndarray,  # [B, R, R, R, 4] or patched [B, T, T, T, p^3, 4]
         deterministic: bool = True,
         token_mask: Optional[jnp.ndarray] = None,  # [B, T, T, T] bool override
         patched_pred: bool = False,  # emit [B, r, r, r, p^3, 4] (train fast path)
@@ -151,7 +199,7 @@ def mae_loss(
     token_mask: jnp.ndarray,  # [B, T, T, T] bool, True = masked
     sizes: jnp.ndarray,  # [B, 3] true scene extents
     cfg: MAEConfig,
-):
+):  # pred/target also accepted pre-patchified [B, T, T, T, p^3, 4]
     """The reference's masked-reconstruction loss, exactly
     (reference: swin_mae3d.py:1513-1563):
 
@@ -171,7 +219,7 @@ def mae_loss(
     # (SwinMAE3D(..., patched_pred=True) — the same permutation this line
     # would apply)
     pred_p = pred if pred.ndim == 6 else patchify_3d(pred, p)
-    tgt_p = patchify_3d(target, p)
+    tgt_p = target if target.ndim == 6 else patchify_3d(target, p)
 
     valid = voxel_validity_mask(sizes, cfg.resolution)  # [B, R, R, R]
     valid_p = patchify_3d(valid[..., None].astype(jnp.float32), p)[..., 0]

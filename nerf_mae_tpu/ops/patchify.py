@@ -27,6 +27,20 @@ def patchify_3d(x: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(b, r, r, r, patch**3, c)
 
 
+def patchify_np(x, patch: int):
+    """Host-side (numpy) patchify_3d for the patch-major input pipeline:
+    [B, R, R, R, C] -> [B, r, r, r, patch^3, C], same ordering as
+    patchify_3d. Runs on the prefetch worker so the device never pays the
+    channel-minor layout transpose."""
+    import numpy as np
+
+    b, h, w, d, c = x.shape
+    r = h // patch
+    x = np.ascontiguousarray(x).reshape(b, r, patch, r, patch, r, patch, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return np.ascontiguousarray(x).reshape(b, r, r, r, patch**3, c)
+
+
 def unpatchify_3d(x: jnp.ndarray, patch: int) -> jnp.ndarray:
     """Inverse of patchify_3d: [B, r, r, r, patch^3, C] -> [B, R, R, R, C]."""
     b, r, _, _, _, c = x.shape

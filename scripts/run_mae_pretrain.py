@@ -75,6 +75,9 @@ def parse_args(argv=None):
     p.add_argument("--eval_json", default=None, help="dump eval metrics to json")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of benchmark steps here")
+    p.add_argument("--patch_major_input", action="store_true",
+                   help="host pre-patchifies batches so the patch embed "
+                        "runs as one dense matmul (train fast path)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="override jax platform (e.g. cpu for smoke runs)")
     p.add_argument("--log_dir", default=None, help="jsonl metric log dir")
@@ -194,6 +197,17 @@ def main(argv=None):
         train_ds, args.batch_size, args.resolution, seed=args.seed,
         workers=args.workers,
     )
+    if args.patch_major_input:
+        # host-side patchify on the prefetch worker: the device consumes
+        # [B, T, T, T, p^3, 4] and the patch embed becomes a dense matmul
+        # (same bytes transferred; see MAEConfig.patch_major_input)
+        from nerf_mae_tpu.ops.patchify import patchify_np
+
+        p = SWIN_PRESETS.get(args.backbone_type,
+                             SWIN_PRESETS["swin_s"]).patch_size[0]
+        batches = (
+            {**b, "grids": patchify_np(b["grids"], p)} for b in batches
+        )
     if args.prefetch > 0:
         # device_put happens on the prefetch thread: batch N+1's host work
         # and H2D transfer overlap the device step on batch N.

@@ -212,3 +212,41 @@ def test_config_rejects_unaligned_resolution():
             MAEConfig(swin=SwinConfig(embed_dim=12, depths=(1, 1, 2, 1),
                                       num_heads=(3, 6, 12, 24)),
                       resolution=bad)
+
+
+@pytest.mark.quick
+class TestPatchMajorInput:
+    """cfg.patch_major_input fast path: host-patchified input through the
+    dense patch embed must match the voxel-conv path with the SAME params
+    (one kernel/bias tree serves both — checkpoint interop)."""
+
+    def test_forward_and_loss_match_voxel_path(self):
+        from nerf_mae_tpu.ops.patchify import patchify_np
+
+        cfg = tiny_cfg()
+        model = SwinMAE3D(cfg)
+        rng = jax.random.PRNGKey(0)
+        g = np.random.RandomState(0).rand(2, 32, 32, 32, 4).astype(np.float32)
+        params = model.init({"params": rng, "mask": rng}, jnp.asarray(g), True)
+        tm = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 8)) > 0.5
+        sizes = jnp.array([[32, 32, 32], [28, 30, 32]])
+
+        vox, _ = model.apply(params, jnp.asarray(g), True, token_mask=tm,
+                             patched_pred=True)
+        gp = patchify_np(g, 4)
+        assert gp.shape == (2, 8, 8, 8, 64, 4)
+        pat, _ = model.apply(params, jnp.asarray(gp), True, token_mask=tm,
+                             patched_pred=True)
+        np.testing.assert_allclose(np.asarray(pat), np.asarray(vox),
+                                   rtol=1e-5, atol=1e-5)
+        l_vox, _ = mae_loss(vox, jnp.asarray(g), tm, sizes, cfg)
+        l_pat, _ = mae_loss(pat, jnp.asarray(gp), tm, sizes, cfg)
+        np.testing.assert_allclose(float(l_pat), float(l_vox), rtol=1e-6)
+
+    def test_patchify_np_matches_device_patchify(self):
+        from nerf_mae_tpu.ops.patchify import patchify_3d, patchify_np
+
+        x = np.random.RandomState(1).rand(1, 8, 8, 8, 4).astype(np.float32)
+        np.testing.assert_array_equal(
+            patchify_np(x, 4), np.asarray(patchify_3d(jnp.asarray(x), 4))
+        )
