@@ -53,18 +53,28 @@ def parse_args(argv=None):
 
 def build_datasets(args):
     if args.dataset == "synthetic":
-        scenes = synthetic_detection_scenes(
-            args.n_synthetic, args.resolution, args.seed, obb=args.rotated_bbox
-        )
-
         class _DS:
+            def __init__(self, scenes):
+                self.scenes = scenes
+
             def __len__(self):
-                return len(scenes)
+                return len(self.scenes)
 
             def __getitem__(self, i):
-                return scenes[i]
+                return self.scenes[i]
 
-        return _DS(), _DS()
+        # disjoint val draw (seed offset) so eval measures generalization —
+        # same contract as run_fcos.build_datasets
+        hard = getattr(args, "synthetic_hard", False)
+        n_val = args.n_synthetic_val or max(args.n_synthetic // 4, 4)
+        return (
+            _DS(synthetic_detection_scenes(
+                args.n_synthetic, args.resolution, args.seed,
+                obb=args.rotated_bbox, hard=hard)),
+            _DS(synthetic_detection_scenes(
+                n_val, args.resolution, args.seed + 10_000,
+                obb=args.rotated_bbox, hard=hard)),
+        )
     split = load_split(args.dataset_split) if args.dataset_split else {}
     mk = lambda sl, aug: SceneDataset(
         args.features_path, scene_list=sl, boxes_path=args.boxes_path,
