@@ -104,7 +104,7 @@ def main():
 
     rng = np.random.RandomState(0)
     # NERF_MAE_PATCH_MAJOR=1: measure the host-pre-patchified input path
-    # (dense patch embed; MAEConfig.patch_major_input)
+    # (dense patch embed; see the layout note in config.MAEConfig)
     patch_major = os.environ.get("NERF_MAE_PATCH_MAJOR", "0") == "1"
     # batch 8/chip is the measured operating point (PERF.md); try it first —
     # larger batches OOM on v5e and each failed probe costs a ~5 min remote

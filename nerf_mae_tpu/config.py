@@ -115,13 +115,15 @@ class MAEConfig:
     #   "unetr": the reference's ConvTranspose(4x) + full-res res-block
     #     (reference: swin_mae3d.py:1248-1257) for architecture-parity runs
     decoder_type: str = "subpixel"
-    # Train-input layout: when True the host pre-patchifies each batch
-    # (ops/patchify.patchify_np) and the model consumes
-    # [B, T, T, T, p^3, 4] directly — the patch embed becomes one
+    # Train-input layout note (no config knob — the model dispatches on
+    # input ndim): the host may pre-patchify each batch
+    # (ops/patchify.patchify_np) and feed [B, T, T, T, p^3, 4] instead of
+    # the voxel grid [B, R, R, R, 4]; the patch embed then runs as one
     # MXU-friendly K=256 matmul instead of a conv over the 4-channel-minor
     # voxel layout (the layout transpose dominates its cost, PERF.md).
-    # Same parameter tree either way; transfer bytes unchanged.
-    patch_major_input: bool = False
+    # Same parameter tree either way; transfer bytes unchanged. Enabled by
+    # --patch_major_input in run_mae_pretrain.py / NERF_MAE_PATCH_MAJOR=1
+    # in bench.py.
 
     def __post_init__(self):
         # The UNETR decoder doubles the token grid at every skip level, so

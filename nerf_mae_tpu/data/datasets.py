@@ -445,34 +445,41 @@ def detection_batch_iterator(
     rng = np.random.RandomState(seed)
     n = len(dataset)
     pool = ScenePool(workers)
-    while True:
-        order = rng.permutation(n) if shuffle else np.arange(n)
-        for start in range(0, n, batch_size):
-            sel = order[start : start + batch_size]
-            if len(sel) < batch_size and drop_last:
-                continue
-            def load(j):
-                item = dataset[int(j)]
-                return item, pad_to_cube(item["rgbsigma"], resolution)
+    try:
+        while True:
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            for start in range(0, n, batch_size):
+                sel = order[start : start + batch_size]
+                if len(sel) < batch_size and drop_last:
+                    continue
 
-            pairs = pool.map(load, sel)
-            items = [it for it, _ in pairs]
-            box_dim = max(
-                (i["boxes"].shape[1] for i in items if i.get("boxes") is not None),
-                default=6,
-            )
-            grids = np.zeros((len(sel), resolution, resolution, resolution, 4),
-                             np.float32)
-            sizes = np.zeros((len(sel), 3), np.int32)
-            gt = np.zeros((len(sel), max_gt, box_dim), np.float32)
-            gv = np.zeros((len(sel), max_gt), bool)
-            for i, (item, padded) in enumerate(pairs):
-                grids[i], sizes[i] = padded
-                if item.get("boxes") is not None:
-                    gt[i], gv[i] = pad_boxes(item["boxes"], max_gt)
-            yield {"grids": grids, "sizes": sizes, "gt_boxes": gt, "gt_valid": gv}
-        if not loop:
-            return
+                def load(j):
+                    item = dataset[int(j)]
+                    return item, pad_to_cube(item["rgbsigma"], resolution)
+
+                pairs = pool.map(load, sel)
+                items = [it for it, _ in pairs]
+                box_dim = max(
+                    (i["boxes"].shape[1]
+                     for i in items if i.get("boxes") is not None),
+                    default=6,
+                )
+                grids = np.zeros(
+                    (len(sel), resolution, resolution, resolution, 4),
+                    np.float32)
+                sizes = np.zeros((len(sel), 3), np.int32)
+                gt = np.zeros((len(sel), max_gt, box_dim), np.float32)
+                gv = np.zeros((len(sel), max_gt), bool)
+                for i, (item, padded) in enumerate(pairs):
+                    grids[i], sizes[i] = padded
+                    if item.get("boxes") is not None:
+                        gt[i], gv[i] = pad_boxes(item["boxes"], max_gt)
+                yield {"grids": grids, "sizes": sizes,
+                       "gt_boxes": gt, "gt_valid": gv}
+            if not loop:
+                return
+    finally:
+        pool.close()
 
 
 def synthetic_detection_scenes(

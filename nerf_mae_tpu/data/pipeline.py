@@ -133,5 +133,7 @@ class ScenePool:
         return list(self._pool.map(fn, items))
 
     def close(self):
+        # wait=True: the pool is idle between map() calls, so the join is
+        # instant — and long finetune runs don't accumulate zombie threads
         if self._pool is not None:
-            self._pool.shutdown(wait=False)
+            self._pool.shutdown(wait=True)

@@ -54,6 +54,12 @@ class FCOSConfig:
     post_nms_top_n: int = 2500
     min_size: float = 0.0
     max_gt: int = 64  # padded GT capacity per scene
+    # Exact-parity switch: the reference starts the reg head at zero bias
+    # (relu(norm_reg_targets) ~ 0, ref fcos/fcos.py:121-135). Our default
+    # starts distance channels at 0.5 to escape the zero-volume IoU
+    # plateau (see _reg_bias_init). Set True to reproduce reference init
+    # for architecture-parity validation runs (PARITY.md).
+    reference_init: bool = False
 
     @property
     def reg_dim(self) -> int:
@@ -107,8 +113,12 @@ class FCOSHead(nn.Module):
             # attractor that froze reg at -log(1/2) in low-data runs.
             # Standard FCOS avoids it via exp(0) = 1; this matches that
             # operating point. OBB midpoint channels (6:) stay 0.
+            # cfg.reference_init=True keeps the reference's zero bias
+            # (ref fcos/fcos.py:121-135) for exact-parity runs.
             del key
             b = jnp.zeros(shape, dtype)
+            if cfg.reference_init:
+                return b
             return b.at[:6].set(0.5)
 
         bbox_pred = nn.Conv(

@@ -137,7 +137,8 @@ class SwinMAE3D(nn.Module):
     def embed(self, grids: jnp.ndarray) -> jnp.ndarray:
         """Patch-embed + pos-embed -> [B, T, T, T, C]. Input is either the
         voxel grid [B, R, R, R, 4] or its host-patchified form
-        [B, T, T, T, p^3, 4] (cfg.patch_major_input train fast path)."""
+        [B, T, T, T, p^3, 4] (patch-major train fast path; the dispatch
+        is on input ndim — see the layout note in config.MAEConfig)."""
         cfg = self.cfg
         x = self.patch_embed(grids.astype(cfg.dtype))
         x = self.patch_norm(x).astype(cfg.dtype)

@@ -245,19 +245,39 @@ def render_detection_views(
         def draw(boxes, color, scores=None):
             if boxes is None or not len(boxes):
                 return
-            uvz = project_to_image(
-                box_corners_3d(boxes).reshape(-1, 3), w2c, _K
-            ).reshape(len(boxes), 8, 3)
+            eps = 1e-3  # near-plane depth for edge clipping
+            corners = box_corners_3d(boxes)  # [N, 8, 3] world
+            cam = corners @ w2c[:3, :3].T + w2c[:3, 3]  # [N, 8, 3] camera
+            depth = -cam[..., 2]  # >0 in front (see project_to_image)
             for bi in range(len(boxes)):
-                if (uvz[bi, :, 2] <= 0).any():  # behind the camera
+                if (depth[bi] <= eps).all():  # fully behind the camera
                     continue
+                drew_any = False
                 for e0, e1 in _BOX_EDGES:
-                    ax.plot(uvz[bi, [e0, e1], 0], uvz[bi, [e0, e1], 1],
-                            color=color, linewidth=1.2)
-                if scores is not None:
-                    top = uvz[bi, :, 1].argmin()
+                    p0, p1 = cam[bi, e0], cam[bi, e1]
+                    d0, d1 = depth[bi, e0], depth[bi, e1]
+                    if d0 <= eps and d1 <= eps:
+                        continue  # edge fully behind
+                    # clip the behind endpoint at the depth=eps plane so
+                    # large/near boxes keep their visible portion instead
+                    # of vanishing when one corner crosses the plane
+                    if d0 <= eps:
+                        p0 = p1 + (p0 - p1) * (d1 - eps) / (d1 - d0)
+                    elif d1 <= eps:
+                        p1 = p0 + (p1 - p0) * (d0 - eps) / (d0 - d1)
+                    seg = np.stack([p0, p1]) @ _K.T
+                    # both endpoints now have depth >= eps, i.e.
+                    # cam_z <= -eps: the signed divide matches
+                    # project_to_image and never hits zero
+                    uv = seg[:, :2] / seg[:, 2:3]
+                    ax.plot(uv[:, 0], uv[:, 1], color=color, linewidth=1.2)
+                    drew_any = True
+                if scores is not None and drew_any:
+                    vis = depth[bi] > eps
+                    uvz = project_to_image(corners[bi][vis], w2c, _K)
+                    top = uvz[:, 1].argmin()
                     ax.annotate(f"{scores[bi]:.2f}",
-                                (uvz[bi, top, 0], uvz[bi, top, 1] - 3),
+                                (uvz[top, 0], uvz[top, 1] - 3),
                                 color=color, fontsize=7)
 
         draw(gt_boxes, "#00d26a")

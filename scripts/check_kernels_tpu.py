@@ -150,7 +150,9 @@ def main():
               f"({results[name]['seconds']}s)", file=sys.stderr)
 
     ok = all(
-        v["fwd"]["max_abs"] < 5e-3 and v["grad_input"]["max_abs"] < 5e-2
+        v["fwd"]["max_abs"] < 5e-3
+        and v["grad_input"]["max_abs"] < 5e-2
+        and v["grad_params"]["max_abs"] < 5e-2
         for k, v in results.items()
         if isinstance(v, dict) and "fwd" in v
     )

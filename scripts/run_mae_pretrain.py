@@ -200,7 +200,7 @@ def main(argv=None):
     if args.patch_major_input:
         # host-side patchify on the prefetch worker: the device consumes
         # [B, T, T, T, p^3, 4] and the patch embed becomes a dense matmul
-        # (same bytes transferred; see MAEConfig.patch_major_input)
+        # (same bytes transferred; see the layout note in config.MAEConfig)
         from nerf_mae_tpu.ops.patchify import patchify_np
 
         p = SWIN_PRESETS.get(args.backbone_type,

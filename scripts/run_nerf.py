@@ -108,11 +108,13 @@ def load_scene(scene_dir: str, transforms: str, downscale: int,
         )
         if dpath and os.path.exists(dpath):
             dimg = Image.open(dpath)
-            if downscale > 1:  # NEAREST: no interpolation across the 0s
-                dimg = dimg.resize(
-                    (dimg.width // downscale, dimg.height // downscale),
-                    Image.NEAREST,
-                )
+            # Depth maps are commonly stored at a different native
+            # resolution than color (e.g. ScanNet 640x480 depth vs
+            # 1296x968 RGB). Resample to the RGB size with NEAREST (no
+            # interpolation across the 0 = invalid sentinel) so the flat
+            # ray->depth mapping in NeRFTrainer.fit stays aligned.
+            if (dimg.width, dimg.height) != (img.width, img.height):
+                dimg = dimg.resize((img.width, img.height), Image.NEAREST)
             depths.append(np.asarray(dimg, np.float32) / depth_scale)
         else:
             depths.append(None)

@@ -285,6 +285,28 @@ def test_bbox_pred_bias_init_breaks_zero_volume_plateau():
 
 
 @pytest.mark.quick
+def test_reference_init_flag_reproduces_zero_bias():
+    """FCOSConfig(reference_init=True) reproduces the reference's zero
+    reg-bias start (ref fcos/fcos.py:121-135) for exact-parity runs."""
+    import numpy as np
+
+    from nerf_mae_tpu.config import SWIN_PRESETS, TrainConfig
+    from nerf_mae_tpu.parallel import make_mesh
+    from nerf_mae_tpu.train.det_trainer import DetectionTrainer
+
+    mesh = make_mesh()
+    tr = DetectionTrainer(
+        SWIN_PRESETS["swin_nano"],
+        FCOSConfig(resolution=32, use_obb=True, reference_init=True),
+        TrainConfig(batch_size=2), 10, mesh, backbone="swin_nano",
+        compute_dtype="float32", remat=False,
+    )
+    state = tr.init(jax.random.PRNGKey(0))
+    bias = np.asarray(state.params["head"]["bbox_pred"]["bias"])
+    np.testing.assert_array_equal(bias, 0.0)
+
+
+@pytest.mark.quick
 def test_synthetic_hard_scenes_are_discriminative():
     """hard=True must produce the low-data e2e distribution: varied box
     extents (not a single size — that made the normalized IoU-loss target

@@ -216,7 +216,7 @@ def test_config_rejects_unaligned_resolution():
 
 @pytest.mark.quick
 class TestPatchMajorInput:
-    """cfg.patch_major_input fast path: host-patchified input through the
+    """Patch-major input fast path: host-patchified input through the
     dense patch embed must match the voxel-conv path with the SAME params
     (one kernel/bias tree serves both — checkpoint interop)."""
 
