@@ -15,6 +15,13 @@ MFU is model-FLOPs utilization: analytic fwd GEMM FLOPs x3 (fwd+bwd,
 remat recompute excluded — see nerf_mae_tpu/flops.py) against the 197
 TFLOP/s bf16 peak of one v5e chip.
 
+Multi-chip: with >1 device the same data-parallel step runs at batch
+8 x n_chips over the full mesh; the JSON adds n_chips, value_total
+(grids/s across the mesh) and scaling_efficiency (per-chip throughput vs
+a same-config single-chip run measured in the same invocation). On the
+1-chip environment this branch is covered by an 8-virtual-CPU-device
+smoke test (tests/test_train.py) via the NERF_MAE_BENCH_* size overrides.
+
 The baseline is the ESTIMATED PyTorch A100 throughput of the reference's
 pretraining step (README.md "~2 days, 8 A100, batch 32" implies ~3
 grids/s/GPU for swin_b-class models; no number is published in-repo — see
@@ -41,6 +48,7 @@ BASELINE_GRIDS_PER_SEC = 3.0  # estimated reference A100 throughput (per GPU)
 METRIC = "grids_per_sec_per_chip_swinb_mae3d_160"
 
 _state = {"value": None, "mfu": None, "step_ms": None, "phase": "start",
+          "n_chips": None, "value_total": None, "scaling_efficiency": None,
           "emitted": False}
 
 
@@ -61,12 +69,62 @@ def _emit():
         out["mfu"] = round(_state["mfu"], 4)
     if _state["step_ms"] is not None:
         out["step_ms"] = round(_state["step_ms"], 1)
+    if _state["n_chips"] and _state["n_chips"] > 1:
+        out["n_chips"] = _state["n_chips"]
+        if _state["value_total"] is not None:
+            out["value_total"] = round(_state["value_total"], 3)
+        if _state["scaling_efficiency"] is not None:
+            out["scaling_efficiency"] = round(_state["scaling_efficiency"], 4)
     print(json.dumps(out), flush=True)
 
 
 def _on_term(signum, frame):
     _emit()
     os._exit(0 if _state["value"] else 1)
+
+
+def _measure(cfg, mesh, batch_size, resolution, reps, patch_major,
+             profile_dir=None):
+    """One compile + timed run of the data-parallel train step on `mesh`.
+    Returns (grids_per_sec_per_chip, step_seconds)."""
+    from nerf_mae_tpu.config import TrainConfig
+    from nerf_mae_tpu.parallel import shard_batch
+    from nerf_mae_tpu.train.trainer import MAETrainer
+
+    rng = np.random.RandomState(0)
+    trainer = MAETrainer(cfg, TrainConfig(batch_size=batch_size), 1000, mesh)
+    state = trainer.init(jax.random.PRNGKey(0))
+    grids = rng.rand(
+        batch_size, resolution, resolution, resolution, 4).astype(np.float32)
+    if patch_major:
+        from nerf_mae_tpu.ops.patchify import patchify_np
+
+        grids = patchify_np(grids, cfg.swin.patch_size[0])
+    batch = shard_batch(
+        {"grids": grids,
+         "sizes": np.full((batch_size, 3), resolution, np.int32)},
+        mesh,
+    )
+    state, m = trainer.train_step(state, batch)  # compile
+    first_loss = float(m["loss"])  # host transfer = hard barrier
+    assert np.isfinite(first_loss), first_loss
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+    try:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, m = trainer.train_step(state, batch)
+        # block via host transfer: block_until_ready through the
+        # remote tunnel can ack at dispatch, not completion
+        _ = float(m["loss"])
+        dt = (time.perf_counter() - t0) / reps
+    finally:
+        # an open trace would make every fallback probe's start_trace
+        # raise and turn a recoverable OOM into value 0
+        if profile_dir:
+            jax.profiler.stop_trace()
+            print(f"# profiler trace -> {profile_dir}", file=sys.stderr)
+    return batch_size / dt / mesh.size, dt
 
 
 def main():
@@ -88,81 +146,55 @@ def main():
     except Exception:
         pass
 
-    from nerf_mae_tpu.config import MAEConfig, SWIN_PRESETS, TrainConfig
+    from nerf_mae_tpu.config import MAEConfig, SWIN_PRESETS
     from nerf_mae_tpu.flops import train_mfu
-    from nerf_mae_tpu.parallel import make_mesh, shard_batch
-    from nerf_mae_tpu.train.trainer import MAETrainer
+    from nerf_mae_tpu.parallel import make_mesh
+
+    # size overrides: the 8-virtual-device CPU smoke test shrinks the model
+    # so the multi-chip branch is exercised end-to-end in seconds
+    preset = os.environ.get("NERF_MAE_BENCH_PRESET", "swin_b")
+    resolution = int(os.environ.get("NERF_MAE_BENCH_RESOLUTION", "160"))
+    reps = int(os.environ.get("NERF_MAE_BENCH_REPS", "10"))
+    per_chip = int(os.environ.get("NERF_MAE_BENCH_PER_CHIP_BATCH", "8"))
+    full_size = preset == "swin_b" and resolution == 160
 
     mesh = make_mesh()
     n_chips = mesh.size
+    _state["n_chips"] = n_chips
     cfg = MAEConfig(
-        swin=SWIN_PRESETS["swin_b"],
-        resolution=160,
-        compute_dtype="bfloat16",
-        remat=True,
+        swin=SWIN_PRESETS[preset],
+        resolution=resolution,
+        compute_dtype="bfloat16" if full_size else "float32",
+        remat=full_size,
     )
 
-    rng = np.random.RandomState(0)
     # NERF_MAE_PATCH_MAJOR=1: measure the host-pre-patchified input path
     # (dense patch embed; see the layout note in config.MAEConfig)
     patch_major = os.environ.get("NERF_MAE_PATCH_MAJOR", "0") == "1"
     # batch 8/chip is the measured operating point (PERF.md); try it first —
     # larger batches OOM on v5e and each failed probe costs a ~5 min remote
     # compile. Fallback probes run only while the budget allows.
-    for probe_i, batch_size in enumerate(
-        (8 * n_chips, 4 * n_chips, 2 * n_chips, n_chips)
-    ):
+    probes = [b * n_chips for b in (per_chip, per_chip // 2, per_chip // 4, 1)
+              if b >= 1]
+    for probe_i, batch_size in enumerate(dict.fromkeys(probes)):
         if probe_i and time.monotonic() - t_start > budget_s * 0.6:
             _state["phase"] = f"budget_exhausted_before_batch{batch_size}"
             break
         _state["phase"] = f"compile_batch{batch_size}"
         try:
-            trainer = MAETrainer(cfg, TrainConfig(batch_size=batch_size), 1000, mesh)
-            state = trainer.init(jax.random.PRNGKey(0))
-            grids = rng.rand(batch_size, 160, 160, 160, 4).astype(np.float32)
-            if patch_major:
-                from nerf_mae_tpu.ops.patchify import patchify_np
-
-                grids = patchify_np(grids, cfg.swin.patch_size[0])
-            batch = shard_batch(
-                {
-                    "grids": grids,
-                    "sizes": np.full((batch_size, 3), 160, np.int32),
-                },
-                mesh,
-            )
-            state, m = trainer.train_step(state, batch)  # compile
-            first_loss = float(m["loss"])  # host transfer = hard barrier
-            assert np.isfinite(first_loss), first_loss
-            _state["phase"] = f"measure_batch{batch_size}"
-            reps = 10
-            if profile_dir:
-                jax.profiler.start_trace(profile_dir)
-            try:
-                t0 = time.perf_counter()
-                for _ in range(reps):
-                    state, m = trainer.train_step(state, batch)
-                # block via host transfer: block_until_ready through the
-                # remote tunnel can ack at dispatch, not completion
-                _ = float(m["loss"])
-                dt = (time.perf_counter() - t0) / reps
-            finally:
-                # an open trace would make every fallback probe's
-                # start_trace raise and turn a recoverable OOM into value 0
-                if profile_dir:
-                    jax.profiler.stop_trace()
-                    print(f"# profiler trace -> {profile_dir}",
-                          file=sys.stderr)
-            value = batch_size / dt / n_chips
+            value, dt = _measure(cfg, mesh, batch_size, resolution, reps,
+                                 patch_major, profile_dir)
+            achieved_per_chip = batch_size // n_chips
             _state.update(
                 value=value,
-                mfu=train_mfu(value, cfg),
+                mfu=train_mfu(value, cfg) if full_size else None,
                 step_ms=dt * 1000,
+                value_total=value * n_chips,
                 phase="done",
             )
             print(
                 f"# batch={batch_size} step={dt*1000:.1f}ms -> "
-                f"{value:.2f} grids/s/chip, MFU {_state['mfu']*100:.1f}%",
+                f"{value:.2f} grids/s/chip x {n_chips} chips",
                 file=sys.stderr,
             )
             break
@@ -170,6 +202,25 @@ def main():
             print(f"# batch={batch_size} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
             continue
+
+    # multi-chip scaling efficiency: same per-chip batch on ONE device
+    # (sharded-vs-serial per-chip throughput ratio; 1.0 = perfect scaling)
+    if (
+        _state["value"]
+        and n_chips > 1
+        and time.monotonic() - t_start < budget_s * 0.85
+    ):
+        _state["phase"] = "single_chip_reference"
+        try:
+            v1, _ = _measure(cfg, make_mesh(1), achieved_per_chip, resolution,
+                             reps, patch_major)
+            _state["scaling_efficiency"] = float(_state["value"] / v1)
+            print(f"# single-chip ref {v1:.2f} grids/s -> scaling eff "
+                  f"{_state['scaling_efficiency']:.3f}", file=sys.stderr)
+        except Exception as e:
+            print(f"# single-chip reference failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        _state["phase"] = "done"
 
     _emit()
 

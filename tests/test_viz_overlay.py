@@ -85,3 +85,41 @@ def test_visualize_detections_script(tmp_path):
     main(["--proposals", str(tmp_path / "scene_0.npz"),
           "--out", str(out)])
     assert len(list(out.glob("scene_0_view*.png"))) == 4
+
+
+def test_straddling_box_still_drawn(tmp_path):
+    """A box with corners on both sides of the image plane must be edge-
+    clipped, not dropped (reference behavior gap flagged in ADVICE r3:
+    large/near boxes vanished when one corner crossed the plane)."""
+    grid = np.zeros((32, 32, 32, 4), np.float32)
+    grid[8:24, 8:24, 8:24] = [0.5, 0.5, 0.5, 1.0]
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, 3] = [-16, -16, -16]  # camera inside the box volume
+    paths = render_detection_views(
+        grid, np.array([[0, 0, 0, 32, 32, 32]], np.float32),
+        str(tmp_path / "t"), pred_scores=np.array([0.9]), views=w2c[None])
+    assert len(paths) == 1 and os.path.getsize(paths[0]) > 5000
+
+
+def test_plot_metrics_script(tmp_path):
+    """plot_metrics.py: MetricLogger jsonl -> per-metric PNGs + overlay
+    (reference: nerf_rpn/scripts/plot_curve.py:1-50)."""
+    import json
+
+    from scripts.plot_metrics import main
+
+    for name, decay in (("mae", 80.0), ("scratch", 150.0)):
+        with open(tmp_path / f"metrics_{name}.jsonl", "w") as f:
+            for s in range(0, 100, 10):
+                f.write(json.dumps(
+                    {"step": s, "loss": 2 * np.exp(-s / decay)}) + "\n")
+    out = tmp_path / "plots"
+    rc = main([str(tmp_path / "metrics_mae.jsonl"),
+               str(tmp_path / "metrics_scratch.jsonl"),
+               "--out", str(out), "--smooth", "0.5"])
+    assert rc == 0
+    assert os.path.getsize(out / "loss.png") > 5000
+    rc = main([str(tmp_path / "metrics_*.jsonl"), "--out",
+               str(tmp_path / "overlay"), "--overlay"])
+    assert rc == 0
+    assert (tmp_path / "overlay" / "metrics.png").exists()
