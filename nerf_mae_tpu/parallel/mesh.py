@@ -36,13 +36,53 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(n_data: Optional[int] = None, n_space: int = 1) -> Mesh:
+    """[data, space] mesh for combined data + spatial (grid) parallelism.
+
+    The `space` axis shards the voxel grid's first spatial dimension across
+    devices — the 3D analogue of sequence/context parallelism, and a
+    capability the reference does not have at all (SURVEY §5: its
+    scalability over the 64k-token grid is purely architectural). GSPMD
+    inserts the halo exchanges (3^3 decoder convs, shifted-window rolls)
+    from the sharding annotations alone; window attention stays local
+    because windows never span the shard boundary after the halo'd roll.
+    Use: batch per-sample activations no longer fit one chip's HBM
+    (high-res VoxelSR, swin_l at 160^3+) or batch < n_chips.
+
+    n_data=None uses all remaining devices (len(devices) // n_space).
+    """
+    devices = jax.devices()
+    if n_space < 1:
+        raise ValueError(f"n_space must be >= 1, got {n_space}")
+    if n_data is None:
+        n_data = len(devices) // n_space
+    need = n_data * n_space
+    if len(devices) < need or n_data < 1:
+        raise RuntimeError(
+            f"make_mesh_2d: asked for {n_data}x{n_space} devices but only "
+            f"{len(devices)} present; for a virtual run set JAX_PLATFORMS=cpu "
+            f"and XLA_FLAGS=--xla_force_host_platform_device_count={need}"
+        )
+    grid = np.asarray(devices[:need]).reshape(n_data, n_space)
+    return Mesh(grid, ("data", "space"))
+
+
+def grid_pspec(mesh: Mesh) -> P:
+    """PartitionSpec for [B, R, R, R, C] voxel-grid batches on this mesh:
+    batch over `data`, first spatial dim over `space` when present."""
+    if "space" in mesh.axis_names and mesh.shape["space"] > 1:
+        return P("data", "space")
+    return P("data")
+
+
 def data_parallel_shardings(mesh: Mesh, axis: str = "data"):
     """(batch_sharding, replicated_sharding) for the given mesh."""
     return NamedSharding(mesh, P(axis)), NamedSharding(mesh, P())
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data",
-                transfer_dtype: Optional[str] = None):
+                transfer_dtype: Optional[str] = None,
+                specs: Optional[dict] = None):
     """Place a pytree of [B, ...] arrays with B sharded over the mesh.
 
     Single-process: a plain device_put. Multi-process (multi-host TPU pods,
@@ -71,11 +111,29 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data",
             and getattr(x, "ndim", 0) >= 4 else x
         )
         batch = jax.tree.map(cast, batch)
-    sharding = NamedSharding(mesh, P(axis))
+    # specs: optional {top-level key: PartitionSpec} overrides for dict
+    # batches (e.g. {"grids": P("data", "space")} on a 2-D mesh); leaves
+    # without an override shard P(axis)
+    default = NamedSharding(mesh, P(axis))
+
+    def _sharding(key):
+        if specs is not None and key in specs:
+            return NamedSharding(mesh, specs[key])
+        return default
+
+    if isinstance(batch, dict):
+        if jax.process_count() == 1:
+            return {k: jax.device_put(v, _sharding(k))
+                    for k, v in batch.items()}
+        return {
+            k: jax.make_array_from_process_local_data(
+                _sharding(k), np.asarray(v))
+            for k, v in batch.items()
+        }
     if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(lambda x: jax.device_put(x, default), batch)
     return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        lambda x: jax.make_array_from_process_local_data(default, np.asarray(x)),
         batch,
     )
 

@@ -260,7 +260,7 @@ class TestDetectionEval:
         assert out["ap50"] == 1.0
 
 
-@pytest.mark.quick
+# mid tier: ~70 s (pays a DetectionTrainer compile; VERDICT r3 weak #4)
 def test_bbox_pred_bias_init_breaks_zero_volume_plateau():
     """The relu(norm_reg_targets) head must NOT start at zero-volume boxes:
     the +1-smoothed IoU loss has a flat spot there (d inter/d pred is a
@@ -284,7 +284,7 @@ def test_bbox_pred_bias_init_breaks_zero_volume_plateau():
     np.testing.assert_array_equal(bias[6:], 0.0)
 
 
-@pytest.mark.quick
+# mid tier: shares the DetectionTrainer compile cost with the test above
 def test_reference_init_flag_reproduces_zero_bias():
     """FCOSConfig(reference_init=True) reproduces the reference's zero
     reg-bias start (ref fcos/fcos.py:121-135) for exact-parity runs."""

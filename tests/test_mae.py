@@ -214,7 +214,7 @@ def test_config_rejects_unaligned_resolution():
                       resolution=bad)
 
 
-@pytest.mark.quick
+# mid tier: ~70 s compile of both embed paths (VERDICT r3 weak #4)
 class TestPatchMajorInput:
     """Patch-major input fast path: host-patchified input through the
     dense patch embed must match the voxel-conv path with the SAME params
