@@ -70,9 +70,56 @@ def make_mesh_2d(n_data: Optional[int] = None, n_space: int = 1) -> Mesh:
 def grid_pspec(mesh: Mesh) -> P:
     """PartitionSpec for [B, R, R, R, C] voxel-grid batches on this mesh:
     batch over `data`, first spatial dim over `space` when present."""
-    if "space" in mesh.axis_names and mesh.shape["space"] > 1:
+    if is_spatial(mesh):
         return P("data", "space")
     return P("data")
+
+
+def is_spatial(mesh: Optional[Mesh]) -> bool:
+    """True when the mesh has a >1-sized `space` axis."""
+    return (
+        mesh is not None
+        and "space" in mesh.axis_names
+        and mesh.shape["space"] > 1
+    )
+
+
+def prepare_spatial_config(mesh: Optional[Mesh], swin_cfg):
+    """Adjust a SwinConfig for spatial sharding; no-op on 1-D meshes.
+
+    - attention_impl='pallas' is rejected: pallas_call has no GSPMD
+      partitioning rule, so the kernels would replicate or fail to lower.
+    - 'auto' routes to 'xla' (GSPMD partitions window attention with halo
+      exchanges automatically).
+    - The jax-0.9 Shardy partitioner is switched off for the process: it
+      miscompiles the backward of a space-replicated operand feeding the
+      chained strided-ConvTranspose decoder (cotangent overcounted exactly
+      n_space times; parameter grads unaffected; finite-difference
+      verified — minimal repro in tests/test_spatial.py). The legacy GSPMD
+      partitioner computes it correctly.
+    """
+    import dataclasses
+
+    if not is_spatial(mesh):
+        return swin_cfg
+    if swin_cfg.attention_impl == "pallas":
+        raise ValueError(
+            "attention_impl='pallas' cannot run under spatial sharding; "
+            "use 'xla' (GSPMD partitions the window attention with halo "
+            "exchanges automatically)"
+        )
+    if jax.config.jax_use_shardy_partitioner:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "spatial mesh: disabling the Shardy partitioner "
+            "(replicated-operand cotangent overcount through the "
+            "ConvTranspose decoder chain; see tests/test_spatial.py)"
+        )
+        jax.config.update("jax_use_shardy_partitioner", False)
+    if swin_cfg.attention_impl == "auto":
+        return dataclasses.replace(swin_cfg, attention_impl="xla")
+    return swin_cfg
 
 
 def data_parallel_shardings(mesh: Mesh, axis: str = "data"):

@@ -38,11 +38,24 @@ class _DenseHeadTrainer:
     mesh: Optional[Mesh] = None
 
     def _jit(self, batch_keys):
+        from nerf_mae_tpu.parallel.mesh import grid_pspec, prepare_spatial_config
+
+        # spatial ([data, space]) meshes shard every [B, R, ...] batch
+        # tensor's first spatial dim too — the SR task at 256^3/384^3
+        # outputs (reference train_voxelSR.sh:11-12) is where per-sample
+        # activations first outgrow one chip's HBM
+        swin = prepare_spatial_config(self.mesh, self.mae_cfg.swin)
+        if swin is not self.mae_cfg.swin:
+            self.mae_cfg = dataclasses.replace(self.mae_cfg, swin=swin)
+            self.model = self._build_model()
         rep = None
         batch_shard = None
         if self.mesh is not None:
             rep = NamedSharding(self.mesh, P())
-            batch_shard = {k: NamedSharding(self.mesh, P("data")) for k in batch_keys}
+            batch_shard = {
+                k: NamedSharding(self.mesh, grid_pspec(self.mesh))
+                for k in batch_keys
+            }
         self.train_step: Callable = jax.jit(
             self._train_step,
             in_shardings=(rep, batch_shard) if self.mesh is not None else None,
@@ -102,8 +115,11 @@ class VoxelSRTrainer(_DenseHeadTrainer):
 
     out_resolution: int = 256
 
+    def _build_model(self):
+        return VoxelSR3D(self.mae_cfg, out_resolution=self.out_resolution)
+
     def __post_init__(self):
-        self.model = VoxelSR3D(self.mae_cfg, out_resolution=self.out_resolution)
+        self.model = self._build_model()
         self.tx = make_optimizer(self.train_cfg, self.total_steps)
         self._jit(("grids", "out_grids"))
 
@@ -137,8 +153,11 @@ class VoxelSemanticsTrainer(_DenseHeadTrainer):
     num_classes: int = 19
     class_weights: Optional[np.ndarray] = None
 
+    def _build_model(self):
+        return VoxelSemantics3D(self.mae_cfg, num_classes=self.num_classes)
+
     def __post_init__(self):
-        self.model = VoxelSemantics3D(self.mae_cfg, num_classes=self.num_classes)
+        self.model = self._build_model()
         self.tx = make_optimizer(self.train_cfg, self.total_steps)
         self._weights = (
             jnp.asarray(self.class_weights) if self.class_weights is not None else None

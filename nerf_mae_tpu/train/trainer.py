@@ -56,49 +56,19 @@ class MAETrainer:
     mesh: Optional[Mesh] = None
 
     def __post_init__(self):
-        spatial = (
-            self.mesh is not None
-            and "space" in self.mesh.axis_names
-            and self.mesh.shape["space"] > 1
-        )
-        if spatial and self.mae_cfg.swin.attention_impl == "pallas":
-            # pallas_call has no GSPMD partitioning rule; under a spatial
-            # mesh the kernels would force replication (or fail to lower)
-            raise ValueError(
-                "attention_impl='pallas' cannot run under spatial sharding; "
-                "use 'xla' (GSPMD partitions the window attention with halo "
-                "exchanges automatically)"
-            )
-        if spatial and self.mae_cfg.swin.attention_impl == "auto":
-            # route to XLA ops on the spatial mesh (see parallel.make_mesh_2d)
-            self.mae_cfg = dataclasses.replace(
-                self.mae_cfg,
-                swin=dataclasses.replace(
-                    self.mae_cfg.swin, attention_impl="xla"),
-            )
-        if spatial and jax.config.jax_use_shardy_partitioner:
-            # Shardy (jax 0.9 default) miscompiles the backward of this
-            # model under spatial sharding: the cotangent of a
-            # space-replicated operand feeding the chained strided
-            # ConvTranspose decoder is overcounted exactly n_space times
-            # (params grads stay correct; found via finite differences,
-            # minimal repro: tests/test_spatial.py
-            # test_shardy_decoder_cotangent_repro). The legacy GSPMD
-            # partitioner computes it correctly — switch to it.
-            logger.warning(
-                "spatial mesh: disabling the Shardy partitioner "
-                "(replicated-operand cotangent overcount through the "
-                "ConvTranspose decoder chain; see tests/test_spatial.py)"
-            )
-            jax.config.update("jax_use_shardy_partitioner", False)
+        from nerf_mae_tpu.parallel.mesh import grid_pspec, prepare_spatial_config
+
+        # spatial ([data, space]) meshes: route attention to XLA and apply
+        # the Shardy-partitioner workaround (see prepare_spatial_config)
+        swin = prepare_spatial_config(self.mesh, self.mae_cfg.swin)
+        if swin is not self.mae_cfg.swin:
+            self.mae_cfg = dataclasses.replace(self.mae_cfg, swin=swin)
         self.model = SwinMAE3D(self.mae_cfg)
         self.tx = make_optimizer(self.train_cfg, self.total_steps)
 
         batch_sharding = None
         rep = None
         if self.mesh is not None:
-            from nerf_mae_tpu.parallel.mesh import grid_pspec
-
             batch_sharding = {
                 # [B, R, R, R, 4]: batch over `data`, first spatial dim
                 # over `space` when the mesh has one (3D context

@@ -135,6 +135,43 @@ def test_shardy_decoder_cotangent_repro():
     np.testing.assert_allclose(legacy, ref, rtol=1e-4, atol=1e-7)
 
 
+# mid tier: full trainer compiles (~1-2 min each on 1 CPU core)
+class TestSpatialDenseHeads:
+    def test_voxel_sr_spatial_parity(self):
+        """VoxelSR (the task whose 256^3/384^3 outputs first outgrow one
+        chip) must train identically on a (2 data x 4 space) mesh."""
+        from nerf_mae_tpu.train.head_trainer import VoxelSRTrainer
+
+        rng = np.random.RandomState(1)
+        batch_np = {
+            "grids": rng.rand(4, RES, RES, RES, 4).astype(np.float32),
+            "out_grids": rng.rand(4, 2 * RES, 2 * RES, 2 * RES, 4).astype(
+                np.float32),
+        }
+
+        def run(mesh):
+            tr = VoxelSRTrainer(_cfg(), TrainConfig(batch_size=4), 50, mesh,
+                                out_resolution=2 * RES)
+            state = tr.init(jax.random.PRNGKey(0))
+            spec = grid_pspec(mesh)
+            batch = shard_batch(batch_np, mesh,
+                                specs={k: spec for k in batch_np})
+            state, m = tr.train_step(state, batch)
+            ev = tr.eval_step(state, batch)
+            return {**{k: float(v) for k, v in m.items()},
+                    **{"eval_" + k: float(v) for k, v in ev.items()}}
+
+        old = jax.config.jax_use_shardy_partitioner
+        try:
+            ref = run(make_mesh(1))
+            got = run(make_mesh_2d(2, 4))
+        finally:
+            jax.config.update("jax_use_shardy_partitioner", old)
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], rtol=2e-4, atol=1e-5,
+                                       err_msg=f"SR metric {k}")
+
+
 # mid tier: three full MAETrainer compiles (~2-3 min on 1 CPU core)
 class TestSpatialParity:
     def test_spatial_matches_single_device(self):
