@@ -158,7 +158,15 @@ def main():
     per_chip = int(os.environ.get("NERF_MAE_BENCH_PER_CHIP_BATCH", "8"))
     full_size = preset == "swin_b" and resolution == 160
 
-    mesh = make_mesh()
+    # NERF_MAE_BENCH_SPACE=n: [data, space] mesh (spatial sharding; the
+    # per-chip batch then applies to the data axis only)
+    n_space = int(os.environ.get("NERF_MAE_BENCH_SPACE", "1"))
+    if n_space > 1:
+        from nerf_mae_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(None, n_space)
+    else:
+        mesh = make_mesh()
     n_chips = mesh.size
     _state["n_chips"] = n_chips
     cfg = MAEConfig(
@@ -174,7 +182,8 @@ def main():
     # batch 8/chip is the measured operating point (PERF.md); try it first —
     # larger batches OOM on v5e and each failed probe costs a ~5 min remote
     # compile. Fallback probes run only while the budget allows.
-    probes = [b * n_chips for b in (per_chip, per_chip // 2, per_chip // 4, 1)
+    n_data = n_chips // n_space
+    probes = [b * n_data for b in (per_chip, per_chip // 2, per_chip // 4, 1)
               if b >= 1]
     for probe_i, batch_size in enumerate(dict.fromkeys(probes)):
         if probe_i and time.monotonic() - t_start > budget_s * 0.6:
@@ -184,7 +193,7 @@ def main():
         try:
             value, dt = _measure(cfg, mesh, batch_size, resolution, reps,
                                  patch_major, profile_dir)
-            achieved_per_chip = batch_size // n_chips
+            achieved_per_chip = max(batch_size // n_chips, 1)
             _state.update(
                 value=value,
                 mfu=train_mfu(value, cfg) if full_size else None,

@@ -115,7 +115,26 @@ def add_common_flags(p):
                    choices=["float32", "bfloat16", "float16"],
                    help="downcast float batch arrays on the host before "
                         "the device transfer (halves host->device bytes)")
+    p.add_argument("--mesh_space", default=1, type=int,
+                   help="shard the voxel grid's first spatial dim over this "
+                        "many devices ([data, space] mesh — lifts the "
+                        "one-chip HBM ceiling; MAE/SR/semantics trainers)")
     return p
+
+
+def build_mesh(args, spatial_ok: bool = True):
+    """Driver mesh: 1-D data mesh, or [data, space] when --mesh_space > 1
+    (parallel.make_mesh_2d; data size = n_devices // mesh_space)."""
+    from nerf_mae_tpu.parallel import make_mesh, make_mesh_2d
+
+    n_space = getattr(args, "mesh_space", 1) or 1
+    if n_space <= 1:
+        return make_mesh()
+    if not spatial_ok:
+        raise SystemExit(
+            "--mesh_space > 1 is only supported by the MAE/SR/semantics "
+            "trainers (detection trainers are data-parallel only)")
+    return make_mesh_2d(None, n_space)
 
 
 def overlap_batches(batches, mesh, depth: int, transfer_dtype: str = None):
@@ -123,14 +142,23 @@ def overlap_batches(batches, mesh, depth: int, transfer_dtype: str = None):
     overlap the device step on batch N (reference analogue: DataLoader
     worker processes, nerf_mae/run_swin_mae3d.py:578-586)."""
     from nerf_mae_tpu.data.pipeline import prefetch
-    from nerf_mae_tpu.parallel import shard_batch
+    from nerf_mae_tpu.parallel import grid_pspec, shard_batch
+    from nerf_mae_tpu.parallel.mesh import is_spatial
+
+    def put(b):
+        # on a [data, space] mesh the grid-like tensors (ndim >= 4:
+        # grids/out_grids/semantics) shard their first spatial dim too
+        specs = None
+        if is_spatial(mesh) and isinstance(b, dict):
+            gp = grid_pspec(mesh)
+            specs = {k: gp for k, v in b.items()
+                     if getattr(v, "ndim", 0) >= 4}
+        return shard_batch(b, mesh, transfer_dtype=transfer_dtype,
+                           specs=specs)
 
     if depth > 0:
-        return prefetch(batches, depth=depth,
-                        map_fn=lambda b: shard_batch(
-                            b, mesh, transfer_dtype=transfer_dtype))
-    return (shard_batch(b, mesh, transfer_dtype=transfer_dtype)
-            for b in batches)
+        return prefetch(batches, depth=depth, map_fn=put)
+    return (put(b) for b in batches)
 
 
 def load_mae_params(mae_checkpoint_dir: str, mae_cfg):

@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-from common import (add_common_flags, benchmark_step, load_mae_params,
+from common import (add_common_flags, build_mesh, benchmark_step, load_mae_params,
                     overlap_batches, setup)
 
 import jax
@@ -126,7 +126,7 @@ def main(argv=None):
     train_ds, val_ds = build_datasets(args)
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     total_steps = args.steps or steps_per_epoch * args.num_epochs
-    mesh = make_mesh()
+    mesh = build_mesh(args, spatial_ok=False)
     trainer = DetectionTrainer(
         swin, fcos,
         TrainConfig(batch_size=args.batch_size, lr=args.lr,

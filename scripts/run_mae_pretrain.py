@@ -88,6 +88,10 @@ def parse_args(argv=None):
                    help="batches kept ready on a background thread "
                         "(0 = synchronous; reference analogue: DataLoader "
                         "workers, run_swin_mae3d.py:578-586)")
+    p.add_argument("--mesh_space", default=1, type=int,
+                   help="shard the voxel grid's first spatial dim over this "
+                        "many devices ([data, space] mesh — lifts the "
+                        "one-chip HBM ceiling)")
     p.add_argument("--transfer_dtype", default="float32",
                    choices=["float32", "bfloat16", "float16"],
                    help="downcast float batch arrays on the host before "
@@ -177,7 +181,9 @@ def main(argv=None):
         seed=args.seed,
     )
 
-    mesh = make_mesh()
+    from common import build_mesh
+
+    mesh = build_mesh(args)
     log.info("devices: %s (mesh %s)", jax.devices(), mesh.shape)
     trainer = MAETrainer(mae_cfg, train_cfg, total_steps, mesh)
     state = trainer.init(jax.random.PRNGKey(args.seed))
@@ -208,17 +214,13 @@ def main(argv=None):
         batches = (
             {**b, "grids": patchify_np(b["grids"], p)} for b in batches
         )
-    if args.prefetch > 0:
-        # device_put happens on the prefetch thread: batch N+1's host work
-        # and H2D transfer overlap the device step on batch N.
-        batches = prefetch(
-            batches, depth=args.prefetch,
-            map_fn=lambda b: shard_batch(
-                b, mesh, transfer_dtype=args.transfer_dtype),
-        )
-    else:
-        batches = (shard_batch(b, mesh, transfer_dtype=args.transfer_dtype)
-                   for b in batches)
+    # overlap_batches also applies the [data, space] grid specs when
+    # --mesh_space > 1 (device_put on the prefetch thread: batch N+1's host
+    # work and H2D transfer overlap the device step on batch N)
+    from common import overlap_batches
+
+    batches = overlap_batches(batches, mesh, args.prefetch,
+                              transfer_dtype=args.transfer_dtype)
 
     def run_eval(state):
         it = mae_batch_iterator(
@@ -227,9 +229,12 @@ def main(argv=None):
         )
         ms = []
         for batch in it:
-            if batch["grids"].shape[0] % mesh.size:
+            if batch["grids"].shape[0] % mesh.shape["data"]:
                 continue  # static-shape: skip ragged tail batch
-            batch = shard_batch(batch, mesh)
+            from nerf_mae_tpu.parallel import grid_pspec
+
+            batch = shard_batch(batch, mesh,
+                                specs={"grids": grid_pspec(mesh)})
             ms.append({k: float(v) for k, v in trainer.eval_step(state, batch).items()})
         if not ms:
             return {}

@@ -12,7 +12,7 @@ import time
 
 import numpy as np
 
-from common import (add_common_flags, benchmark_step, load_mae_params,
+from common import (add_common_flags, build_mesh, benchmark_step, load_mae_params,
                     overlap_batches, setup)
 
 import jax
@@ -110,7 +110,7 @@ def main(argv=None):
     )
     train_ds, val_ds = build_datasets(args)
     total_steps = args.steps or max(len(train_ds) // args.batch_size, 1) * args.num_epochs
-    mesh = make_mesh()
+    mesh = build_mesh(args, spatial_ok=False)
     trainer = RPNTrainer(
         swin, rpn,
         TrainConfig(batch_size=args.batch_size, lr=args.lr,

@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-from common import add_common_flags, load_mae_params, overlap_batches, setup
+from common import add_common_flags, build_mesh, load_mae_params, overlap_batches, setup
 
 import jax
 import jax.numpy as jnp
@@ -73,7 +73,7 @@ def main(argv=None):
         output_size=args.roi_output_size,
         rotated=args.rotated_bbox,
     )
-    mesh = make_mesh()
+    mesh = build_mesh(args, spatial_ok=False)
 
     # frozen first stage: backbone + RPN proposals
     rpn_trainer = RPNTrainer(

@@ -13,14 +13,14 @@ import time
 
 import numpy as np
 
-from common import (add_common_flags, benchmark_step, load_mae_params,
+from common import (add_common_flags, build_mesh, benchmark_step, load_mae_params,
                     overlap_batches, setup)
 
 import jax
 
 from nerf_mae_tpu.config import MAEConfig, SWIN_PRESETS, TrainConfig
 from nerf_mae_tpu.data.datasets import SceneDataset, load_split, pad_to_cube
-from nerf_mae_tpu.parallel import make_mesh, shard_batch
+from nerf_mae_tpu.parallel import grid_pspec, make_mesh, shard_batch
 from nerf_mae_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from nerf_mae_tpu.train.head_trainer import VoxelSRTrainer
 
@@ -103,7 +103,7 @@ def main(argv=None):
     )
     train_ds, val_ds = build_datasets(args)
     total_steps = args.steps or max(len(train_ds) // args.batch_size, 1) * args.num_epochs
-    mesh = make_mesh()
+    mesh = build_mesh(args)
     trainer = VoxelSRTrainer(
         mae_cfg,
         TrainConfig(batch_size=args.batch_size, lr=args.lr,
@@ -133,9 +133,13 @@ def main(argv=None):
     def run_eval(state):
         ms = []
         for batch in batch_iter(val_ds, args, shuffle=False, loop=False):
-            if batch["grids"].shape[0] % mesh.size:
+            if batch["grids"].shape[0] % mesh.shape["data"]:
                 continue
-            m = trainer.eval_step(state, shard_batch(batch, mesh))
+            gp = grid_pspec(mesh)
+            specs = {k: gp for k, v in batch.items()
+                     if getattr(v, "ndim", 0) >= 4}
+            m = trainer.eval_step(
+                state, shard_batch(batch, mesh, specs=specs))
             ms.append({k: float(v) for k, v in m.items()})
         if not ms:
             return {}
