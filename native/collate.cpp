@@ -113,4 +113,33 @@ void rotate_scale(const float* src, int64_t w, int64_t l, int64_t h, int64_t c,
     }
 }
 
+// Fused pad-to-cube + patchify for the patch-major input fast path: one
+// memory pass emits the [t, t, t, p^3, c] layout the dense patch embed
+// consumes (see ops/patchify.patchify_np and the layout note in
+// config.MAEConfig), skipping both the intermediate padded cube and the
+// numpy 8-D transpose. t = r / p; src is (w, l, h, c); out-of-scene
+// voxels are zero.
+void pad_to_patches(const float* src, int64_t w, int64_t l, int64_t h,
+                    int64_t c, float* dst, int64_t r, int64_t p) {
+    const int64_t t = r / p;
+    const int64_t cw = std::min(w, r), cl = std::min(l, r), ch = std::min(h, r);
+    std::memset(dst, 0, sizeof(float) * t * t * t * p * p * p * c);
+    for (int64_t i = 0; i < cw; ++i) {
+        const int64_t ti = i / p, pi = i % p;
+        for (int64_t j = 0; j < cl; ++j) {
+            const int64_t tj = j / p, pj = j % p;
+            const float* s = src + ((i * l + j) * h) * c;
+            // dst patch row base for (ti, tj, *, (pi*p+pj)*p + *, *)
+            float* drow = dst + (((ti * t + tj) * t) * p * p * p +
+                                 (pi * p + pj) * p) * c;
+            // the (k, c) src run maps to contiguous (pk, c) runs per tk
+            for (int64_t tk = 0; tk * p < ch; ++tk) {
+                const int64_t n = std::min<int64_t>(p, ch - tk * p);
+                std::memcpy(drow + tk * p * p * p * c, s + tk * p * c,
+                            sizeof(float) * n * c);
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -307,18 +307,37 @@ def mae_batch_iterator(
     drop_last: bool = True,
     loop: bool = True,
     workers: int = 0,
+    patch_major: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"grids": [B, R, R, R, 4] f32, "sizes": [B, 3] i32} forever
     (or one epoch if loop=False). workers>0 assembles scenes on a thread
-    pool (native collate releases the GIL — see data/pipeline.py)."""
+    pool (native collate releases the GIL — see data/pipeline.py).
+
+    patch_major=p emits grids in the patch-major layout
+    [B, t, t, t, p^3, 4] instead (t = resolution // p), produced by the
+    fused native pad+patchify (data/native.py pad_to_patches) on the pool
+    workers — the host side of the patch-major input fast path."""
     from nerf_mae_tpu.data.pipeline import ScenePool
 
     rng = np.random.RandomState(seed)
     n = len(dataset)
     pool = ScenePool(workers)
 
-    def load(j):
-        return pad_to_cube(dataset[int(j)]["rgbsigma"], resolution)
+    if patch_major:
+        from nerf_mae_tpu.data import native
+
+        t = resolution // patch_major
+        grid_shape = (t, t, t, patch_major ** 3, 4)
+
+        def load(j):
+            g = dataset[int(j)]["rgbsigma"]
+            size = np.minimum(g.shape[:3], resolution).astype(np.int32)
+            return native.pad_to_patches(g, resolution, patch_major), size
+    else:
+        grid_shape = (resolution, resolution, resolution, 4)
+
+        def load(j):
+            return pad_to_cube(dataset[int(j)]["rgbsigma"], resolution)
 
     try:
         while True:
@@ -327,9 +346,7 @@ def mae_batch_iterator(
                 sel = order[start : start + batch_size]
                 if len(sel) < batch_size and drop_last:
                     continue
-                grids = np.zeros(
-                    (len(sel), resolution, resolution, resolution, 4), np.float32
-                )
+                grids = np.zeros((len(sel),) + grid_shape, np.float32)
                 sizes = np.zeros((len(sel), 3), np.int32)
                 for i, (g, s) in enumerate(pool.map(load, sel)):
                     grids[i], sizes[i] = g, s

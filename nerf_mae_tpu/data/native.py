@@ -46,6 +46,7 @@ def _build() -> Optional[ctypes.CDLL]:
         lib.rot90_wl.argtypes = [fp, i64, i64, i64, i64, fp]
         lib.rotate_scale.argtypes = [fp, i64, i64, i64, i64,
                                      ctypes.c_float, ctypes.c_float, fp]
+        lib.pad_to_patches.argtypes = [fp, i64, i64, i64, i64, fp, i64, i64]
         _lib = lib
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         logger.warning("native collate unavailable (%s); using numpy", e)
@@ -73,6 +74,23 @@ def pad_to_cube(g: np.ndarray, resolution: int) -> np.ndarray:
         return out
     out = np.empty((resolution,) * 3 + (g.shape[3],), np.float32)
     lib.pad_to_cube(_ptr(g), *g.shape, _ptr(out), resolution)
+    return out
+
+
+def pad_to_patches(g: np.ndarray, resolution: int, patch: int) -> np.ndarray:
+    """Fused pad-to-cube + patchify: (w, l, h, c) scene -> [t, t, t, p^3, c]
+    patch-major layout (t = resolution // patch) in one memory pass. The
+    host side of the patch-major input fast path (config.MAEConfig layout
+    note); numpy fallback = pad_to_cube + ops.patchify.patchify_np."""
+    lib = _build()
+    g = np.ascontiguousarray(g, np.float32)
+    t = resolution // patch
+    if lib is None:
+        from nerf_mae_tpu.ops.patchify import patchify_np
+
+        return patchify_np(pad_to_cube(g, resolution)[None], patch)[0]
+    out = np.empty((t, t, t, patch ** 3, g.shape[3]), np.float32)
+    lib.pad_to_patches(_ptr(g), *g.shape, _ptr(out), resolution, patch)
     return out
 
 

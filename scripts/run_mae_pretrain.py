@@ -197,23 +197,19 @@ def main(argv=None):
             state = state.replace(opt_state=restored["opt_state"])
         log.info("restored checkpoint from %s", args.checkpoint)
 
-    from nerf_mae_tpu.data.pipeline import prefetch
-
+    # --patch_major_input: the iterator emits [B, T, T, T, p^3, 4] via the
+    # fused native pad+patchify on the pool workers; the device runs the
+    # patch embed as a dense matmul (same bytes transferred; see the
+    # layout note in config.MAEConfig)
+    pm = (
+        SWIN_PRESETS.get(args.backbone_type,
+                         SWIN_PRESETS["swin_s"]).patch_size[0]
+        if args.patch_major_input else 0
+    )
     batches = mae_batch_iterator(
         train_ds, args.batch_size, args.resolution, seed=args.seed,
-        workers=args.workers,
+        workers=args.workers, patch_major=pm,
     )
-    if args.patch_major_input:
-        # host-side patchify on the prefetch worker: the device consumes
-        # [B, T, T, T, p^3, 4] and the patch embed becomes a dense matmul
-        # (same bytes transferred; see the layout note in config.MAEConfig)
-        from nerf_mae_tpu.ops.patchify import patchify_np
-
-        p = SWIN_PRESETS.get(args.backbone_type,
-                             SWIN_PRESETS["swin_s"]).patch_size[0]
-        batches = (
-            {**b, "grids": patchify_np(b["grids"], p)} for b in batches
-        )
     # overlap_batches also applies the [data, space] grid specs when
     # --mesh_space > 1 (device_put on the prefetch thread: batch N+1's host
     # work and H2D transfer overlap the device step on batch N)

@@ -48,3 +48,37 @@ def test_rotate_scale_matches_numpy(grid):
 def test_rotate_scale_identity(grid):
     got = native.rotate_scale(grid, 0.0, 1.0)
     np.testing.assert_allclose(got, grid, atol=1e-6)
+
+
+def test_pad_to_patches_matches_numpy(grid):
+    from nerf_mae_tpu.ops.patchify import patchify_np
+
+    g = np.random.RandomState(2).rand(9, 7, 11, 4).astype(np.float32)
+    got = native.pad_to_patches(g, 12, 4)
+    want = patchify_np(native.pad_to_cube(g, 12)[None], 4)[0]
+    assert got.shape == (3, 3, 3, 64, 4)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mae_batch_iterator_patch_major():
+    from nerf_mae_tpu.data.datasets import mae_batch_iterator
+
+    scenes = [np.random.RandomState(i).rand(14, 16, 12, 4).astype(np.float32)
+              for i in range(4)]
+
+    class _DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"rgbsigma": scenes[i]}
+
+    b = next(mae_batch_iterator(_DS(), 2, 16, shuffle=False, loop=False,
+                                patch_major=4, workers=2))
+    assert b["grids"].shape == (2, 4, 4, 4, 64, 4)
+    np.testing.assert_array_equal(b["sizes"][0], [14, 16, 12])
+    # values match the voxel-layout iterator + patchify
+    from nerf_mae_tpu.ops.patchify import patchify_np
+
+    b2 = next(mae_batch_iterator(_DS(), 2, 16, shuffle=False, loop=False))
+    np.testing.assert_array_equal(b["grids"], patchify_np(b2["grids"], 4))
