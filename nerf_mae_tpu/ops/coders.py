@@ -67,6 +67,10 @@ def decode_rotated_deltas(deltas: jnp.ndarray, rois7: jnp.ndarray) -> jnp.ndarra
         jnp.clip(deltas[..., 3:6], None, BBOX_XFORM_CLIP)
     )
     theta = deltas[..., 6] * 2 * jnp.pi + rois7[..., 6]
+    # canonicalize into (-pi/2, pi/2] like the reference
+    # (rotated_coder.py:108-110): theta % pi, then fold (pi/2, pi) down
+    theta = theta % jnp.pi
+    theta = jnp.where(theta > jnp.pi / 2, theta - jnp.pi, theta)
     return jnp.concatenate(
         [jnp.stack([ctr_x, ctr_y, ctr_z], -1), size, theta[..., None]], axis=-1
     )

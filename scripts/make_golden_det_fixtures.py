@@ -1,0 +1,328 @@
+#!/usr/bin/env python
+"""Generate golden detection-math fixtures from the reference PyTorch code.
+
+Runs the *actual* reference implementations under /root/reference/nerf_rpn
+on seeded random inputs and records their outputs to
+tests/fixtures/golden_det.npz:
+
+  - rotated 3D IoU / GIoU / DIoU   (model/rotated_iou/oriented_iou_loss.py)
+  - AABB + OBB pairwise IoU        (model/utils.py:387 box_iou_3d)
+  - greedy NMS keep sets           (model/utils.py:215)
+  - torchvision-style Matcher      (model/utils.py:98)
+  - AABB / rotated / midpoint-offset box coders (model/coder/*)
+  - Detectron recall / VOC AP / precision      (eval.py:14,84,319)
+  - FCOS target assignment + centerness        (model/fcos/loss.py:269-445)
+
+tests/test_parity_golden_det.py pins our JAX/numpy counterparts to these
+values. Two compiled/unavailable third-party deps are shimmed with their
+documented semantics (clearly scoped below): torchvision ops (as in
+make_golden_fixtures.py, plus sigmoid_focal_loss) and the reference's CUDA
+`sort_vertices` extension (cuda_op/sort_vert_kernel.cu:42-135) — the shim is
+a line-faithful numpy port of that kernel, used only to *generate* reference
+outputs; our framework's angle-argsort (ops/rotated_iou.py) never sees it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+OUT = os.path.join(REPO, "tests", "fixtures", "golden_det.npz")
+
+EPS = 1e-8
+
+
+def _compare_vertices(x1, y1, x2, y2):
+    """sort_vert_kernel.cu:15-40 compare_vertices, line for line."""
+    if abs(x1 - x2) < EPS and abs(y2 - y1) < EPS:
+        return False
+    if y1 > 0 and y2 < 0:
+        return True
+    if y1 < 0 and y2 > 0:
+        return False
+    n1 = x1 * x1 + y1 * y1 + EPS
+    n2 = x2 * x2 + y2 * y2 + EPS
+    if y1 > 0 and y2 > 0:
+        return abs(x1) * x1 / n1 - abs(x2) * x2 / n2 > EPS
+    if y1 < 0 and y2 < 0:
+        return abs(x1) * x1 / n1 - abs(x2) * x2 / n2 < EPS
+    # y1 == 0 or y2 == 0 exactly: undefined (falls off the CUDA function);
+    # measure-zero for the random inputs used here
+    return False
+
+
+def _sort_vertices_np(vertices, mask, num_valid):
+    """sort_vert_kernel.cu:42-135 sort_vertices_kernel, line for line."""
+    B, N, M, _ = vertices.shape
+    idx = np.zeros((B, N, 9), np.int64)
+    for bi in range(B):
+        for ni in range(N):
+            v, mk = vertices[bi, ni], mask[bi, ni]
+            pads = np.nonzero(~mk[8:])[0]
+            pad = int(8 + pads[0]) if len(pads) else 0
+            nv = int(num_valid[bi, ni])
+            if nv < 3:
+                idx[bi, ni, :] = pad
+                continue
+            for j in range(nv):
+                x_min, y_min, i_take = 1.0, -EPS, 0
+                for k in range(M):
+                    x, y = float(v[k, 0]), float(v[k, 1])
+                    if j == 0:
+                        ok = mk[k] and _compare_vertices(x, y, x_min, y_min)
+                    else:
+                        i2 = idx[bi, ni, j - 1]
+                        x2, y2 = float(v[i2, 0]), float(v[i2, 1])
+                        ok = (mk[k] and _compare_vertices(x, y, x_min, y_min)
+                              and _compare_vertices(x2, y2, x, y))
+                    if ok:
+                        x_min, y_min, i_take = x, y, k
+                idx[bi, ni, j] = i_take
+            idx[bi, ni, nv] = idx[bi, ni, 0]
+            idx[bi, ni, nv + 1:] = pad
+            if nv == 8:  # identical-boxes corner case (kernel :113-131)
+                counter = sum(
+                    int(idx[bi, ni, k] == idx[bi, ni, j])
+                    for j in range(4) for k in range(4, 8)
+                )
+                if counter == 4:
+                    idx[bi, ni, 4] = idx[bi, ni, 0]
+                    idx[bi, ni, 5:] = pad
+    return idx
+
+
+def _install_shims():
+    from make_golden_fixtures import _install_torchvision_shims
+
+    _install_torchvision_shims()
+
+    # torchvision.ops.sigmoid_focal_loss (public documented semantics);
+    # imported by fcos/loss.py:18 but not exercised by prepare_targets
+    def sigmoid_focal_loss(inputs, targets, alpha=0.25, gamma=2.0,
+                           reduction="none"):
+        p = torch.sigmoid(inputs)
+        ce = torch.nn.functional.binary_cross_entropy_with_logits(
+            inputs, targets, reduction="none")
+        p_t = p * targets + (1 - p) * (1 - targets)
+        loss = ce * ((1 - p_t) ** gamma)
+        if alpha >= 0:
+            loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+        if reduction == "mean":
+            return loss.mean()
+        if reduction == "sum":
+            return loss.sum()
+        return loss
+
+    sys.modules["torchvision"].ops.sigmoid_focal_loss = sigmoid_focal_loss
+    sys.modules["torchvision.ops"].sigmoid_focal_loss = sigmoid_focal_loss
+
+    # the compiled `sort_vertices` CUDA module (cuda_op/cuda_ext.py:4)
+    sv = types.ModuleType("sort_vertices")
+
+    def sort_vertices_forward(vertices, mask, num_valid):
+        out = _sort_vertices_np(vertices.detach().numpy(),
+                                mask.detach().numpy(),
+                                num_valid.detach().numpy())
+        return torch.from_numpy(out)
+
+    sv.sort_vertices_forward = sort_vertices_forward
+    sys.modules["sort_vertices"] = sv
+
+    if not hasattr(np, "float"):
+        np.float = float  # numpy<1.24 alias used by the reference
+
+    # device-placement no-op: the reference's OBB IoU matrix hardcodes
+    # `.cuda()` (model/utils.py:412); numerics are device-independent
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+
+def _rand_obb(rs, *shape, extent=10.0):
+    """[*, 7] (x, y, z, w, l, h, theta) boxes with sane sizes."""
+    ctr = rs.uniform(1.0, extent, shape + (3,))
+    size = rs.uniform(0.5, 3.0, shape + (3,))
+    ang = rs.uniform(-np.pi, np.pi, shape + (1,))
+    return np.concatenate([ctr, size, ang], -1).astype(np.float32)
+
+
+def _rand_aabb(rs, n, extent=32.0):
+    lo = rs.uniform(0.0, extent - 4.0, (n, 3))
+    sz = rs.uniform(1.0, 8.0, (n, 3))
+    return np.concatenate([lo, np.minimum(lo + sz, extent)], -1).astype(
+        np.float32)
+
+
+def main():
+    _install_shims()
+    sys.path.insert(0, "/root/reference/nerf_rpn")
+    from model.rotated_iou.oriented_iou_loss import (
+        cal_diou_3d, cal_giou_3d, cal_iou_3d)
+    from model.utils import Matcher, box_iou_3d, nms
+    from model.coder.AABB_coder import AABBCoder
+    from model.coder.midpoint_offset_coder import MidpointOffsetCoder
+    from model.coder.rotated_coder import RotatedCoder
+    from model.fcos.loss import FCOSLossComputation
+    from model.fcos.fcos import FCOSModule
+    import eval as ref_eval
+
+    fx = {}
+    torch.manual_seed(0)
+
+    # ---- rotated IoU family -------------------------------------------
+    rs = np.random.RandomState(10)
+    b1 = _rand_obb(rs, 1, 96)
+    b2 = _rand_obb(rs, 1, 96)
+    # overlap-rich tail: perturbations of b1, plus 4 exactly-equal pairs
+    b2[0, :48] = b1[0, :48] + rs.uniform(-0.5, 0.5, (48, 7)).astype(np.float32)
+    b2[0, :4] = b1[0, :4]
+    t1, t2 = torch.tensor(b1), torch.tensor(b2)
+    fx["iou_b1"], fx["iou_b2"] = b1, b2
+    fx["iou"] = cal_iou_3d(t1, t2).numpy()
+    gl, _, gi = cal_giou_3d(t1, t2, "smallest")
+    fx["giou_loss"], fx["giou_iou"] = gl.numpy(), gi.numpy()
+    gl_al, _, _ = cal_giou_3d(t1, t2, "aligned")
+    fx["giou_loss_aligned"] = gl_al.numpy()
+    dl, _ = cal_diou_3d(t1, t2, "smallest")
+    fx["diou_loss"] = dl.numpy()
+
+    # ---- pairwise IoU matrices ----------------------------------------
+    rs = np.random.RandomState(11)
+    a1, a2 = _rand_aabb(rs, 40), _rand_aabb(rs, 50)
+    fx["aabb_m1"], fx["aabb_m2"] = a1, a2
+    fx["aabb_iou_matrix"] = box_iou_3d(
+        torch.tensor(a1), torch.tensor(a2)).numpy()
+    o1, o2 = _rand_obb(rs, 20), _rand_obb(rs, 25)
+    fx["obb_m1"], fx["obb_m2"] = o1, o2
+    fx["obb_iou_matrix"] = box_iou_3d(
+        torch.tensor(o1), torch.tensor(o2)).numpy()
+
+    # ---- greedy NMS ----------------------------------------------------
+    rs = np.random.RandomState(12)
+    nb = _rand_aabb(rs, 120, extent=16.0)  # dense -> plenty of overlap
+    ns = rs.rand(120).astype(np.float32)
+    fx["nms_boxes"], fx["nms_scores"] = nb, ns
+    for th in (25, 50):
+        keep = nms(torch.tensor(nb), torch.tensor(ns), th / 100.0).numpy()
+        fx[f"nms_keep_{th}"] = keep
+
+    # ---- Matcher -------------------------------------------------------
+    rs = np.random.RandomState(13)
+    quality = rs.rand(8, 300).astype(np.float32)
+    quality[:, :30] *= 0.25  # guarantee below-low rows
+    fx["match_quality"] = quality
+    for tag, (hi, lo, lq) in {
+        "rpn": (0.35, 0.2, True), "strict": (0.7, 0.3, False),
+    }.items():
+        m = Matcher(hi, lo, allow_low_quality_matches=lq)
+        fx[f"match_{tag}"] = m(torch.tensor(quality)).numpy()
+
+    # ---- box coders ----------------------------------------------------
+    rs = np.random.RandomState(14)
+    anchors = _rand_aabb(rs, 64)
+    gts = _rand_aabb(rs, 64)
+    fx["coder_anchors"], fx["coder_gts"] = anchors, gts
+    aabb = AABBCoder()
+    enc = aabb.encode_single(torch.tensor(gts), torch.tensor(anchors))
+    fx["aabb_deltas"] = enc.numpy()
+    deltas = rs.uniform(-1.0, 1.0, (64, 6)).astype(np.float32)
+    fx["coder_rand_deltas"] = deltas
+    fx["aabb_decoded"] = aabb.decode_single(
+        torch.tensor(deltas), torch.tensor(anchors)).numpy()
+
+    rois7 = _rand_obb(rs, 64)
+    gt7 = _rand_obb(rs, 64)
+    fx["coder_rois7"], fx["coder_gt7"] = rois7, gt7
+    rot = RotatedCoder()
+    fx["rot_deltas"] = rot.encode_single(
+        torch.tensor(gt7), torch.tensor(rois7)).numpy()
+    deltas7 = rs.uniform(-0.5, 0.5, (64, 7)).astype(np.float32)
+    fx["coder_rand_deltas7"] = deltas7
+    fx["rot_decoded"] = rot.decode_single(
+        torch.tensor(deltas7), torch.tensor(rois7)).numpy()
+
+    mid = MidpointOffsetCoder()
+    fx["mid_deltas"] = mid.encode_single(
+        torch.tensor(gt7), torch.tensor(anchors)).numpy()
+    deltas8 = rs.uniform(-0.5, 0.5, (64, 8)).astype(np.float32)
+    # da/db midpoint offsets: span the clamp range (both sides clamp to
+    # [-0.5, 0.5] — midpoint_offset_coder.py:202-203)
+    deltas8[:, 6:] = rs.uniform(-0.6, 0.6, (64, 2))
+    fx["coder_rand_deltas8"] = deltas8
+    fx["mid_decoded"] = mid.decode_single(
+        torch.tensor(deltas8), torch.tensor(anchors)).numpy()
+
+    # ---- eval: recall / AP / precision ---------------------------------
+    rs = np.random.RandomState(15)
+    props, scores, gtl = [], [], []
+    for i in range(4):
+        gt = _rand_aabb(rs, 5)
+        p = np.concatenate([
+            gt + rs.uniform(-1.0, 1.0, gt.shape).astype(np.float32),
+            _rand_aabb(rs, 45),
+        ])
+        props.append(p)
+        scores.append(rs.rand(len(p)).astype(np.float32))
+        gtl.append(gt)
+    for i in range(4):
+        fx[f"eval_props_{i}"], fx[f"eval_scores_{i}"] = props[i], scores[i]
+        fx[f"eval_gt_{i}"] = gtl[i]
+    tp = [torch.tensor(x) for x in props]
+    ts = [torch.tensor(x) for x in scores]
+    tg = [torch.tensor(x) for x in gtl]
+    rec = ref_eval.evaluate_box_proposals_recall(tp, ts, tg, limit=30)
+    fx["eval_recalls"] = rec["recalls"].numpy()
+    fx["eval_ar"] = np.float32(rec["ar"].item())
+    fx["eval_num_pos"] = np.int32(rec["num_pos"])
+    for th in (25, 50):
+        ap = ref_eval.evaluate_box_proposals_ap(tp, ts, tg,
+                                                iou_thresh=th / 100.0)
+        fx[f"eval_ap_{th}"] = np.float32(ap["ap"].item())
+    prec = ref_eval.evaluate_box_proposals_precision(
+        tp, ts, tg, score_thresh=0.5)
+    fx["eval_precisions"] = prec["precisions"].numpy()
+    fx["eval_num_det"] = np.int32(prec["num_det"])
+
+    # ---- FCOS target assignment (AABB) ---------------------------------
+    rs = np.random.RandomState(16)
+    strides = [4, 8, 16, 32]
+    dims = [(8, 8, 8), (4, 4, 4), (2, 2, 2), (1, 1, 1)]  # 32^3 scene
+    points = [
+        FCOSModule.compute_locations_per_level(None, w, l, h, s, "cpu")
+        for (w, l, h), s in zip(dims, strides)
+    ]
+    gt_counts = [3, 5]
+    gt_scenes = [_rand_aabb(rs, c) for c in gt_counts]
+    # make box 0 of scene 0 big so it lands on coarse levels
+    gt_scenes[0][0] = [1.0, 1.0, 1.0, 31.0, 31.0, 29.0]
+    fx["fcos_gt_0"], fx["fcos_gt_1"] = gt_scenes
+    comp = FCOSLossComputation(
+        fpn_strides=strides, center_sampling_radius=1.5,
+        iou_loss_type="iou", norm_reg_targets=True, world_size=1,
+        use_obb=False, use_additional_l1_loss=False)
+    labels_lf, reg_lf = comp.prepare_targets(
+        points, [torch.tensor(g) for g in gt_scenes])
+    for lv in range(4):
+        np_lv = len(points[lv])
+        fx[f"fcos_labels_l{lv}"] = (
+            labels_lf[lv].reshape(len(gt_counts), np_lv).numpy())
+        fx[f"fcos_reg_l{lv}"] = (
+            reg_lf[lv].reshape(len(gt_counts), np_lv, 6).numpy())
+    # centerness on the positives of the finest level, scene 1
+    pos = labels_lf[0].reshape(2, -1)[1] > 0
+    fx["fcos_pos_l0_s1"] = pos.numpy()
+    fx["fcos_centerness_l0_s1"] = comp.compute_centerness_targets(
+        reg_lf[0].reshape(2, -1, 6)[1][pos]).numpy()
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    np.savez_compressed(OUT, **fx)
+    print(f"wrote {OUT}: {len(fx)} arrays, "
+          f"{os.path.getsize(OUT) / 1e6:.2f} MB")
+
+
+if __name__ == "__main__":
+    main()

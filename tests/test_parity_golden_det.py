@@ -1,0 +1,218 @@
+"""Golden parity for the detection math, pinned against the *actual*
+reference PyTorch implementations.
+
+tests/fixtures/golden_det.npz holds seeded random inputs and the reference's
+outputs for rotated IoU/GIoU/DIoU, pairwise IoU matrices, greedy NMS,
+the torchvision-style Matcher, all three box coders, the Detectron/VOC eval
+suite, and FCOS target assignment (generated offline by
+scripts/make_golden_det_fixtures.py from /root/reference/nerf_rpn). These
+tests pin our JAX/numpy counterparts to those recorded values.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_det.npz")
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return dict(np.load(FIX))
+
+
+# ---- rotated IoU family ---------------------------------------------------
+
+
+def test_rotated_iou_matches_reference(fx):
+    from nerf_mae_tpu.ops.rotated_iou import iou_3d
+
+    got = np.asarray(iou_3d(fx["iou_b1"], fx["iou_b2"]))
+    np.testing.assert_allclose(got, fx["iou"], rtol=1e-4, atol=1e-5)
+
+
+def test_rotated_giou_loss_matches_reference(fx):
+    from nerf_mae_tpu.ops.rotated_iou import giou_3d_loss
+
+    got = np.asarray(giou_3d_loss(fx["iou_b1"], fx["iou_b2"], "smallest"))
+    np.testing.assert_allclose(got, fx["giou_loss"], rtol=1e-4, atol=1e-4)
+    got_al = np.asarray(giou_3d_loss(fx["iou_b1"], fx["iou_b2"], "aligned"))
+    np.testing.assert_allclose(
+        got_al, fx["giou_loss_aligned"], rtol=1e-4, atol=1e-5)
+
+
+def test_rotated_diou_loss_matches_reference(fx):
+    from nerf_mae_tpu.ops.rotated_iou import diou_3d_loss
+
+    got = np.asarray(diou_3d_loss(fx["iou_b1"], fx["iou_b2"], "smallest"))
+    np.testing.assert_allclose(got, fx["diou_loss"], rtol=1e-4, atol=1e-4)
+
+
+def test_pairwise_iou_matrices_match_reference(fx):
+    from nerf_mae_tpu.ops.boxes import box_iou_aabb
+    from nerf_mae_tpu.ops.rotated_iou import box_iou_obb_pairwise
+
+    got = np.asarray(box_iou_aabb(fx["aabb_m1"], fx["aabb_m2"]))
+    np.testing.assert_allclose(got, fx["aabb_iou_matrix"], rtol=1e-5,
+                               atol=1e-6)
+    got = np.asarray(box_iou_obb_pairwise(fx["obb_m1"], fx["obb_m2"]))
+    np.testing.assert_allclose(got, fx["obb_iou_matrix"], rtol=1e-4,
+                               atol=1e-5)
+
+
+# ---- greedy NMS -----------------------------------------------------------
+
+
+@pytest.mark.parametrize("th", [25, 50])
+def test_nms_matches_reference(fx, th):
+    from nerf_mae_tpu.ops.nms import nms_mask
+
+    keep = np.asarray(nms_mask(fx["nms_boxes"], fx["nms_scores"], th / 100))
+    ours = np.nonzero(keep)[0]
+    ours = ours[np.argsort(-fx["nms_scores"][ours])]  # pick order
+    np.testing.assert_array_equal(ours, fx[f"nms_keep_{th}"])
+
+
+# ---- Matcher ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "tag,hi,lo,lq", [("rpn", 0.35, 0.2, True), ("strict", 0.7, 0.3, False)]
+)
+def test_matcher_matches_reference(fx, tag, hi, lo, lq):
+    from nerf_mae_tpu.ops.anchors import match_anchors
+
+    q = fx["match_quality"]
+    g, a = q.shape
+    labels, best_gt = match_anchors(
+        q, np.ones(g, bool), np.ones(a, bool), lo, hi, allow_low_quality=lq)
+    labels, best_gt = np.asarray(labels), np.asarray(best_gt)
+    ref = fx[f"match_{tag}"]  # gt index, or -1 below-low / -2 between
+    ref_labels = np.where(ref >= 0, 1.0, np.where(ref == -1, 0.0, -1.0))
+    np.testing.assert_array_equal(labels, ref_labels)
+    np.testing.assert_array_equal(best_gt[ref >= 0], ref[ref >= 0])
+
+
+# ---- box coders ------------------------------------------------------------
+
+
+def test_aabb_coder_matches_reference(fx):
+    from nerf_mae_tpu.ops.coders import decode_aabb_deltas, encode_aabb_deltas
+
+    got = np.asarray(encode_aabb_deltas(fx["coder_gts"], fx["coder_anchors"]))
+    np.testing.assert_allclose(got, fx["aabb_deltas"], rtol=1e-5, atol=1e-6)
+    got = np.asarray(
+        decode_aabb_deltas(fx["coder_rand_deltas"], fx["coder_anchors"]))
+    np.testing.assert_allclose(got, fx["aabb_decoded"], rtol=1e-5, atol=1e-5)
+
+
+def test_rotated_coder_matches_reference(fx):
+    from nerf_mae_tpu.ops.coders import (decode_rotated_deltas,
+                                         encode_rotated_deltas)
+
+    got = np.asarray(encode_rotated_deltas(fx["coder_gt7"], fx["coder_rois7"]))
+    np.testing.assert_allclose(got, fx["rot_deltas"], rtol=1e-4, atol=1e-5)
+    got = np.asarray(
+        decode_rotated_deltas(fx["coder_rand_deltas7"], fx["coder_rois7"]))
+    np.testing.assert_allclose(got, fx["rot_decoded"], rtol=1e-4, atol=1e-4)
+
+
+def test_midpoint_coder_matches_reference(fx):
+    from nerf_mae_tpu.ops.coders import (decode_midpoint_offset,
+                                         encode_midpoint_offset)
+
+    got = np.asarray(
+        encode_midpoint_offset(fx["coder_gt7"], fx["coder_anchors"]))
+    np.testing.assert_allclose(got, fx["mid_deltas"], rtol=1e-4, atol=1e-4)
+    got = np.asarray(
+        decode_midpoint_offset(fx["coder_rand_deltas8"], fx["coder_anchors"]))
+    want = fx["mid_decoded"]
+    # centers + sizes match exactly; the angle is only defined mod pi for a
+    # rectangle (theta and theta+pi are the same OBB) and rectpoly2obb's
+    # near-square w>h branch is a float tie-break, so compare canonically
+    np.testing.assert_allclose(got[:, :6], want[:, :6], rtol=1e-4, atol=1e-4)
+    d = np.abs(got[:, 6] - want[:, 6]) % np.pi
+    assert (np.minimum(d, np.pi - d) < 1e-3).all()
+
+
+# ---- eval suite ------------------------------------------------------------
+
+
+def _eval_inputs(fx):
+    props = [fx[f"eval_props_{i}"] for i in range(4)]
+    scores = [fx[f"eval_scores_{i}"] for i in range(4)]
+    gts = [fx[f"eval_gt_{i}"] for i in range(4)]
+    return props, scores, gts
+
+
+def test_proposal_recall_matches_reference(fx):
+    from nerf_mae_tpu.eval.detection import proposal_recall
+
+    got = proposal_recall(*_eval_inputs(fx), limit=30)
+    np.testing.assert_allclose(got["recalls"], fx["eval_recalls"], atol=1e-6)
+    np.testing.assert_allclose(got["ar"], fx["eval_ar"], atol=1e-6)
+    assert got["num_pos"] == int(fx["eval_num_pos"])
+
+
+@pytest.mark.parametrize("th", [25, 50])
+def test_proposal_ap_matches_reference(fx, th):
+    from nerf_mae_tpu.eval.detection import proposal_average_precision
+
+    got = proposal_average_precision(*_eval_inputs(fx), iou_thresh=th / 100)
+    np.testing.assert_allclose(got["ap"], fx[f"eval_ap_{th}"], atol=1e-6)
+
+
+def test_proposal_precision_matches_reference(fx):
+    from nerf_mae_tpu.eval.detection import proposal_precision
+
+    got = proposal_precision(*_eval_inputs(fx), score_thresh=0.5)
+    np.testing.assert_allclose(
+        got["precisions"], fx["eval_precisions"], atol=1e-6)
+    assert got["num_det"] == int(fx["eval_num_det"])
+
+
+# ---- FCOS target assignment -------------------------------------------------
+
+
+def test_fcos_targets_match_reference(fx):
+    from nerf_mae_tpu.ops.fcos_targets import (assign_fcos_targets,
+                                               centerness_targets,
+                                               level_locations)
+
+    per_level, locs, strides, ranges = level_locations(
+        (32, 32, 32), (4, 8, 16, 32))
+    gt0, gt1 = fx["fcos_gt_0"], fx["fcos_gt_1"]
+    g = max(len(gt0), len(gt1))
+    gt_boxes = np.zeros((2, g, 6), np.float32)
+    gt_valid = np.zeros((2, g), bool)
+    gt_boxes[0, : len(gt0)], gt_valid[0, : len(gt0)] = gt0, True
+    gt_boxes[1, : len(gt1)], gt_valid[1, : len(gt1)] = gt1, True
+
+    labels, reg = assign_fcos_targets(
+        locs, strides, ranges, gt_boxes, gt_valid,
+        center_sampling_radius=1.5, use_obb=False)
+    labels, reg = np.asarray(labels), np.asarray(reg)
+
+    off = 0
+    for lv, pl in enumerate(per_level):
+        n = len(pl)
+        sl = slice(off, off + n)
+        np.testing.assert_array_equal(
+            labels[:, sl], fx[f"fcos_labels_l{lv}"],
+            err_msg=f"labels level {lv}")
+        # the reference normalizes reg targets by the level stride
+        # (norm_reg_targets, fcos/loss.py:314-316); ours are voxel units.
+        # Only positives carry meaning (the reference keeps the
+        # smallest-area box's targets at negatives too — so compare all).
+        np.testing.assert_allclose(
+            reg[:, sl] / (4, 8, 16, 32)[lv], fx[f"fcos_reg_l{lv}"],
+            rtol=1e-5, atol=1e-5, err_msg=f"reg level {lv}")
+        off += n
+
+    pos = fx["fcos_pos_l0_s1"].astype(bool)
+    n0 = len(per_level[0])
+    got_ctr = np.asarray(
+        centerness_targets(reg[1, :n0][pos] / 4.0))
+    np.testing.assert_allclose(
+        got_ctr, fx["fcos_centerness_l0_s1"], rtol=1e-5, atol=1e-6)
