@@ -318,6 +318,64 @@ def main():
     fx["fcos_centerness_l0_s1"] = comp.compute_centerness_targets(
         reg_lf[0].reshape(2, -1, 6)[1][pos]).numpy()
 
+    # ---- anchor generation ----------------------------------------------
+    from model.anchor import AnchorGenerator3D
+
+    sizes = ((8.0,), (16.0,), (32.0,), (64.0,))
+    ratios = (((1.0, 1.0, 1.0), (1.0, 1.0, 2.0), (1.0, 2.0, 2.0),
+               (1.0, 1.0, 3.0), (1.0, 3.0, 3.0)),) * 4  # run_rpn.py:32-35
+    gen = AnchorGenerator3D(sizes, ratios, is_normalized=False)
+    gen.set_cell_anchors(torch.float32, "cpu")
+    grid_dims = [(8, 8, 8), (4, 4, 4), (2, 2, 2), (1, 1, 1)]
+    anchor_strides = [(4, 4, 4), (8, 8, 8), (16, 16, 16), (32, 32, 32)]
+    ref_anchors = gen.grid_anchors(grid_dims, anchor_strides)
+    for lv, a in enumerate(ref_anchors):
+        fx[f"anchors_l{lv}"] = a.numpy()
+
+    # ---- full FCOS loss (cls + reg + centerness), AABB and OBB ----------
+    rs = np.random.RandomState(17)
+    ori_sizes = [(32, 32, 32), (25, 28, 30)]
+    fx["floss_sizes"] = np.asarray(ori_sizes, np.int32)
+    masks = [
+        FCOSModule.compute_padding_masks_per_level(None, pl, ori_sizes)
+        for pl in points
+    ]
+    gt_obb = []
+    for c in gt_counts:
+        ctr = rs.uniform(6.0, 26.0, (c, 3))
+        size = rs.uniform(2.0, 10.0, (c, 3))
+        ang = rs.uniform(-np.pi, np.pi, (c, 1))
+        gt_obb.append(np.concatenate([ctr, size, ang], -1).astype(np.float32))
+    fx["floss_gt_obb_0"], fx["floss_gt_obb_1"] = gt_obb
+
+    for mode, use_obb, gts_mode in (("aabb", False, gt_scenes),
+                                    ("obb", True, gt_obb)):
+        rd = 8 if use_obb else 6
+        cls_l, reg_l, ctr_l = [], [], []  # channel-last, ours' layout
+        for (w, l, h) in dims:
+            cls_l.append(rs.normal(size=(2, w, l, h, 1)).astype(np.float32))
+            r = rs.uniform(0.1, 6.0, (2, w, l, h, rd)).astype(np.float32)
+            if use_obb:
+                r[..., 6:] = rs.uniform(-0.4, 0.4, (2, w, l, h, 2))
+            reg_l.append(r)
+            ctr_l.append(rs.normal(size=(2, w, l, h, 1)).astype(np.float32))
+        for lv in range(4):
+            fx[f"floss_{mode}_cls_l{lv}"] = cls_l[lv]
+            fx[f"floss_{mode}_reg_l{lv}"] = reg_l[lv]
+            fx[f"floss_{mode}_ctr_l{lv}"] = ctr_l[lv]
+        comp_m = FCOSLossComputation(
+            fpn_strides=strides, center_sampling_radius=1.5,
+            iou_loss_type="iou", norm_reg_targets=True, world_size=1,
+            use_obb=use_obb, use_additional_l1_loss=False)
+        to_cf = lambda x: torch.tensor(np.moveaxis(x, -1, 1))  # channel-first
+        cls_t, reg_t, ctr_t = comp_m(
+            points, [to_cf(x) for x in cls_l], [to_cf(x) for x in reg_l],
+            [to_cf(x) for x in ctr_l],
+            [torch.tensor(g) for g in gts_mode], masks)
+        fx[f"floss_{mode}_cls"] = np.float32(cls_t.item())
+        fx[f"floss_{mode}_reg"] = np.float32(reg_t.item())
+        fx[f"floss_{mode}_ctr"] = np.float32(ctr_t.item())
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, **fx)
     print(f"wrote {OUT}: {len(fx)} arrays, "

@@ -172,6 +172,59 @@ def test_proposal_precision_matches_reference(fx):
     assert got["num_det"] == int(fx["eval_num_det"])
 
 
+# ---- anchor generation -------------------------------------------------------
+
+
+def test_grid_anchors_match_reference(fx):
+    from nerf_mae_tpu.ops.anchors import grid_anchors
+
+    anchors, _, level_ids, per_level = grid_anchors(32, (4, 8, 16, 32))
+    off = 0
+    for lv in range(4):
+        ours = anchors[off: off + per_level[lv]]
+        ref = fx[f"anchors_l{lv}"]
+        assert ours.shape == ref.shape
+        # the reference's ratio-permutation order comes from an unordered
+        # set (anchor.py:59-60); compare as sorted row sets
+        key = lambda a: np.lexsort(a.T[::-1])
+        np.testing.assert_allclose(
+            ours[key(ours)], ref[key(ref)], atol=1e-5,
+            err_msg=f"anchors level {lv}")
+        off += per_level[lv]
+
+
+# ---- full FCOS loss -----------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode,use_obb", [("aabb", False), ("obb", True)])
+def test_fcos_full_loss_matches_reference(fx, mode, use_obb):
+    from nerf_mae_tpu.models.fcos import FCOSConfig, fcos_loss
+
+    cfg = FCOSConfig(resolution=32, use_obb=use_obb, iou_loss_type="iou",
+                     norm_reg_targets=True, center_sampling_radius=1.5)
+    logits = [fx[f"floss_{mode}_cls_l{lv}"] for lv in range(4)]
+    reg = [fx[f"floss_{mode}_reg_l{lv}"] for lv in range(4)]
+    ctr = [fx[f"floss_{mode}_ctr_l{lv}"] for lv in range(4)]
+    if use_obb:
+        gt0, gt1 = fx["floss_gt_obb_0"], fx["floss_gt_obb_1"]
+    else:
+        gt0, gt1 = fx["fcos_gt_0"], fx["fcos_gt_1"]
+    g, d = max(len(gt0), len(gt1)), gt0.shape[1]
+    gt_boxes = np.zeros((2, g, d), np.float32)
+    gt_valid = np.zeros((2, g), bool)
+    gt_boxes[0, : len(gt0)], gt_valid[0, : len(gt0)] = gt0, True
+    gt_boxes[1, : len(gt1)], gt_valid[1, : len(gt1)] = gt1, True
+
+    _, aux = fcos_loss(cfg, logits, reg, ctr, gt_boxes, gt_valid,
+                       fx["floss_sizes"])
+    np.testing.assert_allclose(
+        float(aux["loss_cls"]), fx[f"floss_{mode}_cls"], rtol=2e-4)
+    np.testing.assert_allclose(
+        float(aux["loss_reg"]), fx[f"floss_{mode}_reg"], rtol=2e-4)
+    np.testing.assert_allclose(
+        float(aux["loss_centerness"]), fx[f"floss_{mode}_ctr"], rtol=2e-4)
+
+
 # ---- FCOS target assignment -------------------------------------------------
 
 
