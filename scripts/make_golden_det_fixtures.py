@@ -376,6 +376,36 @@ def main():
         fx[f"floss_{mode}_reg"] = np.float32(reg_t.item())
         fx[f"floss_{mode}_ctr"] = np.float32(ctr_t.item())
 
+    # ---- FCOS post-processing (inference path) --------------------------
+    from model.fcos.inference import FCOSPostProcessor
+
+    pp = FCOSPostProcessor(
+        pre_nms_thresh=0.2, pre_nms_top_n=50, nms_thresh=0.3,
+        fpn_post_nms_top_n=30, min_size=0.0, num_classes=1, use_obb=False)
+    pp_obb = FCOSPostProcessor(
+        pre_nms_thresh=0.2, pre_nms_top_n=50, nms_thresh=0.3,
+        fpn_post_nms_top_n=30, min_size=0.0, num_classes=1, use_obb=True)
+    for mode, proc in (("aabb", pp), ("obb", pp_obb)):
+        cls_t = [torch.tensor(np.moveaxis(fx[f"floss_{mode}_cls_l{lv}"], -1, 1))
+                 for lv in range(4)]
+        # the reference head scales the first 6 (normalized) reg channels by
+        # the fpn stride at eval time before the post-processor sees them
+        # (fcos/fcos.py:124-133); our fcos_postprocess folds that scaling in
+        def scaled_reg(lv):
+            r = fx[f"floss_{mode}_reg_l{lv}"].copy()
+            r[..., :6] *= strides[lv]
+            return torch.tensor(np.moveaxis(r, -1, 1))
+
+        reg_t = [scaled_reg(lv) for lv in range(4)]
+        ctr_t = [torch.tensor(np.moveaxis(fx[f"floss_{mode}_ctr_l{lv}"], -1, 1))
+                 for lv in range(4)]
+        boxes_r, scores_r = proc(points, cls_t, reg_t, ctr_t, ori_sizes,
+                                 masks)
+        for i in range(2):
+            order = torch.argsort(scores_r[i], descending=True)
+            fx[f"pp_{mode}_boxes_{i}"] = boxes_r[i][order].numpy()  # lvl + box
+            fx[f"pp_{mode}_scores_{i}"] = scores_r[i][order].numpy()
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, **fx)
     print(f"wrote {OUT}: {len(fx)} arrays, "

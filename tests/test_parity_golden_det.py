@@ -225,6 +225,47 @@ def test_fcos_full_loss_matches_reference(fx, mode, use_obb):
         float(aux["loss_centerness"]), fx[f"floss_{mode}_ctr"], rtol=2e-4)
 
 
+# ---- FCOS post-processing ----------------------------------------------------
+
+
+@pytest.mark.parametrize("mode,use_obb", [("aabb", False), ("obb", True)])
+def test_fcos_postprocess_matches_reference(fx, mode, use_obb):
+    from nerf_mae_tpu.models.fcos import FCOSConfig, fcos_postprocess
+
+    cfg = FCOSConfig(
+        resolution=32, use_obb=use_obb, norm_reg_targets=True,
+        pre_nms_thresh=0.2, pre_nms_top_n=50, nms_thresh=0.3,
+        post_nms_top_n=30, min_size=0.0)
+    import jax.numpy as jnp
+
+    out = fcos_postprocess(
+        cfg,
+        [jnp.asarray(fx[f"floss_{mode}_cls_l{lv}"]) for lv in range(4)],
+        [jnp.asarray(fx[f"floss_{mode}_reg_l{lv}"]) for lv in range(4)],
+        [jnp.asarray(fx[f"floss_{mode}_ctr_l{lv}"]) for lv in range(4)],
+        jnp.asarray(fx["floss_sizes"]),
+    )
+    boxes = np.asarray(out["boxes"])
+    scores = np.asarray(out["scores"])
+    levels = np.asarray(out["levels"])
+    valid = np.asarray(out["valid"])
+    for i in range(2):
+        want = fx[f"pp_{mode}_boxes_{i}"]  # [K, 1 + 6|7], score-desc
+        want_scores = fx[f"pp_{mode}_scores_{i}"]
+        n = valid[i].sum()
+        assert n == len(want), (n, len(want))
+        got_b, got_s, got_l = boxes[i][: n], scores[i][: n], levels[i][: n]
+        if not use_obb:  # ours carries (center, size, 0); ref corner AABBs
+            got_b = np.concatenate(
+                [got_b[:, :3] - got_b[:, 3:6] / 2,
+                 got_b[:, :3] + got_b[:, 3:6] / 2], axis=-1)
+        else:
+            got_b = got_b[:, :7]
+        np.testing.assert_allclose(got_s, want_scores, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(got_l, want[:, 0])
+        np.testing.assert_allclose(got_b, want[:, 1:], rtol=1e-4, atol=1e-4)
+
+
 # ---- FCOS target assignment -------------------------------------------------
 
 
