@@ -406,6 +406,75 @@ def main():
             fx[f"pp_{mode}_boxes_{i}"] = boxes_r[i][order].numpy()  # lvl + box
             fx[f"pp_{mode}_scores_{i}"] = scores_r[i][order].numpy()
 
+    # ---- RPN proposal filtering + anchor padding masks -------------------
+    from model.rpn import RegionProposalNetwork, permute_and_flatten
+
+    rs = np.random.RandomState(18)
+    num_per_level = [a.shape[0] for a in ref_anchors]
+    A = sum(num_per_level)
+    anchors_cat = torch.cat(ref_anchors)
+    obj = rs.normal(size=(2, A)).astype(np.float32)
+    deltas6 = rs.uniform(-0.5, 0.5, (2, A, 6)).astype(np.float32)
+    fx["rpn_obj"], fx["rpn_deltas"] = obj, deltas6
+
+    # reference padding masks: per-cell ceil rule -> permute_and_flatten
+    feats = [torch.zeros(2, 1, *d) for d in grid_dims]
+    meshes = torch.zeros(2, 4, 32, 32, 32)
+    masks_lvl = gen.get_padding_masks(meshes, feats, ori_sizes)
+    n_base = gen.num_anchors_per_location()[0]
+    masks_flat = torch.cat(
+        [permute_and_flatten(m.reshape(2, -1, *m.shape[2:]), 2, n_base, 1,
+                             *m.shape[2:]).squeeze(-1)
+         for m in masks_lvl], dim=1)
+    fx["rpn_pad_mask"] = masks_flat.numpy()
+
+    props = torch.stack([
+        aabb.decode_single(torch.tensor(deltas6[i]), anchors_cat)
+        for i in range(2)
+    ])
+    ns = types.SimpleNamespace(
+        min_size=1e-3, score_thresh=0.0, nms_thresh=0.3, training=False,
+        _pre_nms_top_n={"testing": 100}, _post_nms_top_n={"testing": 30})
+    ns.pre_nms_top_n = lambda: 100
+    ns.post_nms_top_n = lambda: 30
+    ns._get_top_n_idx = lambda o, n: RegionProposalNetwork._get_top_n_idx(
+        ns, o, n)
+    lvl_idx = torch.arange(A).reshape(1, -1).expand(2, -1)
+    fboxes, fscores, _ = RegionProposalNetwork.filter_proposals(
+        ns, props, torch.tensor(obj), lvl_idx, ori_sizes, num_per_level,
+        masks_flat)
+    for i in range(2):
+        order = torch.argsort(fscores[i], descending=True)
+        fx[f"rpn_boxes_{i}"] = fboxes[i][order].numpy()
+        fx[f"rpn_scores_{i}"] = fscores[i][order].numpy()
+
+    # ---- metrics: masked MSE/PSNR + intersectionAndUnion ------------------
+    # torchmetrics is not installed; metrics.py only uses JaccardIndex in a
+    # helper we don't exercise — stub the import
+    tm = types.ModuleType("torchmetrics")
+    tm.JaccardIndex = object
+    sys.modules.setdefault("torchmetrics", tm)
+    from model.metrics import intersectionAndUnionGPU, mse, psnr
+
+    rs = np.random.RandomState(19)
+    pr = rs.rand(2, 16, 16, 16, 3).astype(np.float32)
+    gt = rs.rand(2, 16, 16, 16, 3).astype(np.float32)
+    msk = rs.rand(2, 16, 16, 16, 1) > 0.4
+    fx["met_pred"], fx["met_gt"], fx["met_mask"] = pr, gt, msk
+    fx["met_mse"] = np.float32(mse(
+        torch.tensor(pr), torch.tensor(gt), torch.tensor(msk)).item())
+    fx["met_psnr"] = np.float32(psnr(
+        torch.tensor(pr), torch.tensor(gt), torch.tensor(msk)).item())
+
+    K = 19
+    seg_pred = rs.randint(0, K, (2, 12, 12, 12))
+    seg_tgt = rs.randint(0, K, (2, 12, 12, 12))
+    fx["seg_pred"], fx["seg_tgt"] = seg_pred, seg_tgt
+    inter, union, tgta = intersectionAndUnionGPU(
+        torch.tensor(seg_pred).float(), torch.tensor(seg_tgt).float(), K)
+    fx["seg_inter"], fx["seg_union"] = inter.numpy(), union.numpy()
+    fx["seg_target_area"] = tgta.numpy()
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, **fx)
     print(f"wrote {OUT}: {len(fx)} arrays, "

@@ -266,6 +266,70 @@ def test_fcos_postprocess_matches_reference(fx, mode, use_obb):
         np.testing.assert_allclose(got_b, want[:, 1:], rtol=1e-4, atol=1e-4)
 
 
+# ---- RPN proposal filtering ---------------------------------------------------
+
+
+def test_rpn_filter_proposals_matches_reference(fx):
+    import jax.numpy as jnp
+
+    from nerf_mae_tpu.models.rpn import RPNConfig, rpn_filter_proposals
+    from nerf_mae_tpu.ops.anchors import anchor_padding_mask
+
+    anchors = np.concatenate([fx[f"anchors_l{lv}"] for lv in range(4)])
+    level_ids = np.concatenate([
+        np.full(len(fx[f"anchors_l{lv}"]), lv, np.int32) for lv in range(4)
+    ])
+    cfg = RPNConfig(resolution=32, pre_nms_top_n=100, post_nms_top_n=30)
+    sizes = fx["floss_sizes"]
+
+    # our padding-mask rule (cell center < extent) must reproduce the
+    # reference's per-cell ceil rule (anchor.py:124-152); the anchor cell
+    # center is (lo + hi) / 2 of a zero-centered base anchor + its shift
+    cell_centers = (anchors[:, :3] + anchors[:, 3:]) / 2
+    ours_mask = np.asarray(anchor_padding_mask(
+        jnp.asarray(cell_centers), jnp.asarray(sizes.astype(np.float32))))
+    np.testing.assert_array_equal(ours_mask, fx["rpn_pad_mask"])
+
+    out = rpn_filter_proposals(
+        cfg, jnp.asarray(fx["rpn_obj"]), jnp.asarray(fx["rpn_deltas"]),
+        jnp.asarray(anchors), level_ids, jnp.asarray(ours_mask),
+        jnp.asarray(sizes.astype(np.float32)))
+    boxes = np.asarray(out["boxes"])
+    scores = np.asarray(out["scores"])
+    valid = np.asarray(out["valid"])
+    for i in range(2):
+        want, want_s = fx[f"rpn_boxes_{i}"], fx[f"rpn_scores_{i}"]
+        n = valid[i].sum()
+        assert n == len(want), (n, len(want))
+        np.testing.assert_allclose(scores[i][:n], want_s, rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(boxes[i][:n], want, rtol=1e-4, atol=1e-4)
+
+
+# ---- metrics -------------------------------------------------------------------
+
+
+def test_masked_mse_psnr_match_reference(fx):
+    from nerf_mae_tpu.metrics import masked_mse, masked_psnr
+
+    got = float(masked_mse(fx["met_pred"], fx["met_gt"], fx["met_mask"]))
+    np.testing.assert_allclose(got, fx["met_mse"], rtol=1e-6)
+    got = float(masked_psnr(fx["met_pred"], fx["met_gt"], fx["met_mask"]))
+    np.testing.assert_allclose(got, fx["met_psnr"], rtol=1e-6)
+
+
+def test_intersection_and_union_matches_reference(fx):
+    from nerf_mae_tpu.models.heads import intersection_and_union
+
+    inter, union, tgt = intersection_and_union(
+        fx["seg_pred"], fx["seg_tgt"], 19)
+    # the reference histograms classes 1..K-1 (class 0 = void is dropped
+    # before binning, metrics.py:498-513); ours keeps a class-0 bin
+    np.testing.assert_array_equal(inter[1:], fx["seg_inter"])
+    np.testing.assert_array_equal(union[1:], fx["seg_union"])
+    np.testing.assert_array_equal(tgt[1:], fx["seg_target_area"])
+
+
 # ---- FCOS target assignment -------------------------------------------------
 
 
