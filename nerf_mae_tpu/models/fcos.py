@@ -271,9 +271,12 @@ def fcos_loss(
     if cfg.use_obb and cfg.proj2d_loss_weight > 0:
         from nerf_mae_tpu.ops.projection import projection_2d_loss
 
+        # reference: centerness-weighted pixel smooth-L1 / (4 views x 2
+        # points x 2 coords), then / centerness sum (fcos/loss.py:473-475,
+        # :581-585)
         loss_2d = projection_2d_loss(
             pred_boxes, tgt_boxes, ctr_targets * pos, cfg.resolution
-        ) / sum_ctr * jnp.maximum((ctr_targets * pos).sum(), 1.0)
+        ) / 16.0 / sum_ctr
         reg_loss = reg_loss + cfg.proj2d_loss_weight * loss_2d
 
     total = cls_loss + cfg.reg_loss_weight * reg_loss + ctr_loss

@@ -239,7 +239,9 @@ def rpn_loss(
             safe = jnp.array([0, 0, 0, 1, 1, 1], jnp.float32)
             decoded2 = jnp.where(pos_mask[..., None], decoded2, safe)
             matched2 = jnp.where(pos_mask[..., None], matched, safe)
-        loss_2d = projection_2d_loss(decoded2, matched2, pos, cfg.resolution)
+        loss_2d = projection_2d_loss(
+            decoded2, matched2, pos, cfg.resolution
+        ) / jnp.maximum(pos.sum(), 1.0)  # / num sampled pos (ref rpn.py:452)
         aux["loss_reg_2d"] = loss_2d
         reg_loss = reg_loss + cfg.proj2d_loss_weight * loss_2d
 

@@ -20,8 +20,10 @@ from nerf_mae_tpu.ops.obb import obb2points_3d
 
 
 def _look_at_rotation(cam: np.ndarray, at: np.ndarray) -> np.ndarray:
-    """(reference: rpn.py:36-66 look_at_rotation, up = (0, 0, -1))."""
-    up = np.array([0.0, 0.0, -1.0])
+    """(reference: rpn.py:37-76 look_at_rotation as called through
+    c2w_from_loc_and_at, whose default up is (0, 0, 1) — the (0, 0, -1)
+    branch inside look_at_rotation is dead code on that path)."""
+    up = np.array([0.0, 0.0, 1.0])
     z = cam - at
     z = z / np.linalg.norm(z)
     x = np.cross(up, z)
@@ -66,9 +68,13 @@ def projection_2d_loss(
     weights: jnp.ndarray,  # [...] per-box weight (e.g. pos mask/centerness)
     resolution: int = 160,
 ) -> jnp.ndarray:
-    """Mean smooth-L1 (beta 1/9) of projected diagonal corner points over
-    the 4 views, normalized by resolution and weight sum
-    (reference: rpn.py:421-453; fcos/loss.py:447-475)."""
+    """Weighted sum of smooth-L1 (beta 1/9) pixel displacements of the
+    projected diagonal corner points over the 4 views, divided by the
+    resolution (reference: rpn.py:421-453 and fcos/loss.py:447-475 — both
+    compute smooth-L1 on raw pixel coordinates, then divide by the mesh
+    dim). Count normalization is the caller's: the RPN divides by num_pos
+    (rpn.py:452-453); FCOS divides by (4 views x 2 points x 2 coords) and
+    then by the centerness sum (fcos/loss.py:473-475, :581-585)."""
     if pred_boxes.shape[-1] == 7:
         p_pts = obb2points_3d(pred_boxes)  # [..., 2, 3]
         t_pts = obb2points_3d(target_boxes)
@@ -81,9 +87,8 @@ def projection_2d_loss(
     for v in range(4):
         pp = project_points(p_pts, w2cs[v])  # [..., 2, 2]
         tp = project_points(t_pts, w2cs[v])
-        d = jnp.abs(pp - tp) / resolution
+        d = jnp.abs(pp - tp)  # raw pixel displacement
         beta = 1.0 / 9.0
         sl1 = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
         d2_sum = d2_sum + sl1.sum(axis=(-1, -2))  # [...]
-    n = jnp.maximum(weights.sum(), 1.0)
-    return (d2_sum * weights).sum() / (4.0 * n)
+    return (d2_sum * weights).sum() / resolution

@@ -376,6 +376,42 @@ def main():
         fx[f"floss_{mode}_reg"] = np.float32(reg_t.item())
         fx[f"floss_{mode}_ctr"] = np.float32(ctr_t.item())
 
+    # ---- 2D projection loss: cameras + the OBB FCOS loss with weight>0 ---
+    from model.fcos.utils import get_w2cs, project
+
+    w2cs = torch.stack([torch.tensor(np.asarray(p)) for p in
+                        get_w2cs(res=32)])
+    fx["proj_w2cs"] = w2cs.numpy().astype(np.float32)
+    rs = np.random.RandomState(20)
+    pts = rs.uniform(0.0, 32.0, (10, 3)).astype(np.float32)
+    fx["proj_points"] = pts
+    K = torch.tensor([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]])
+    homog = torch.cat([torch.tensor(pts), torch.ones(10, 1)], dim=1)
+    fx["proj_pixels"] = torch.stack(
+        [project(K, w2cs[v], homog) for v in range(4)]).numpy()
+
+    # the reference hardcodes its camera rig to res=160 and divides by 160
+    # (fcos/loss.py:449-470 — written for its fixed 160^3 input); align the
+    # rig to this fixture's 32^3 grid so the projection math is comparable
+    # (the test accounts for the hardcoded /160 divisor explicitly)
+    import model.fcos.loss as floss_mod
+
+    orig_w2cs = floss_mod.get_w2cs
+    floss_mod.get_w2cs = lambda res=160: get_w2cs(res=32)
+    comp_proj = FCOSLossComputation(
+        fpn_strides=strides, center_sampling_radius=1.5,
+        iou_loss_type="iou", norm_reg_targets=True, world_size=1,
+        use_obb=True, use_additional_l1_loss=False, proj2d_loss_weight=0.7)
+    to_cf = lambda x: torch.tensor(np.moveaxis(x, -1, 1))
+    _, reg_t_, _ = comp_proj(
+        points,
+        [to_cf(fx[f"floss_obb_cls_l{lv}"]) for lv in range(4)],
+        [to_cf(fx[f"floss_obb_reg_l{lv}"]) for lv in range(4)],
+        [to_cf(fx[f"floss_obb_ctr_l{lv}"]) for lv in range(4)],
+        [torch.tensor(g) for g in gt_obb], masks)
+    fx["floss_obb_reg_proj"] = np.float32(reg_t_.item())
+    floss_mod.get_w2cs = orig_w2cs
+
     # ---- FCOS post-processing (inference path) --------------------------
     from model.fcos.inference import FCOSPostProcessor
 

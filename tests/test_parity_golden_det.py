@@ -330,6 +330,55 @@ def test_intersection_and_union_matches_reference(fx):
     np.testing.assert_array_equal(tgt[1:], fx["seg_target_area"])
 
 
+# ---- 2D projection loss --------------------------------------------------------
+
+
+def test_camera_projection_matches_reference(fx):
+    import jax.numpy as jnp
+
+    from nerf_mae_tpu.ops.projection import get_w2cs, project_points
+
+    w2cs = get_w2cs(32)
+    np.testing.assert_allclose(w2cs, fx["proj_w2cs"], rtol=1e-5, atol=1e-5)
+    for v in range(4):
+        pix = np.asarray(project_points(
+            jnp.asarray(fx["proj_points"]), jnp.asarray(w2cs[v])))
+        np.testing.assert_allclose(pix, fx["proj_pixels"][v], rtol=1e-4,
+                                   atol=1e-3)
+
+
+def test_fcos_proj2d_loss_matches_reference(fx):
+    """The projection component of the OBB reg loss matches the reference.
+
+    The reference hardcodes its camera rig and divisor to 160
+    (fcos/loss.py:449-470); ours parameterizes by resolution. The fixture
+    aligned the rig to 32, so our component equals the reference's
+    scaled by 160/32.
+    """
+    from nerf_mae_tpu.models.fcos import FCOSConfig, fcos_loss
+
+    def reg_at(weight):
+        cfg = FCOSConfig(resolution=32, use_obb=True, iou_loss_type="iou",
+                         norm_reg_targets=True, proj2d_loss_weight=weight)
+        gt0, gt1 = fx["floss_gt_obb_0"], fx["floss_gt_obb_1"]
+        g = max(len(gt0), len(gt1))
+        gt_boxes = np.zeros((2, g, 7), np.float32)
+        gt_valid = np.zeros((2, g), bool)
+        gt_boxes[0, : len(gt0)], gt_valid[0, : len(gt0)] = gt0, True
+        gt_boxes[1, : len(gt1)], gt_valid[1, : len(gt1)] = gt1, True
+        _, aux = fcos_loss(
+            cfg,
+            [fx[f"floss_obb_cls_l{lv}"] for lv in range(4)],
+            [fx[f"floss_obb_reg_l{lv}"] for lv in range(4)],
+            [fx[f"floss_obb_ctr_l{lv}"] for lv in range(4)],
+            gt_boxes, gt_valid, fx["floss_sizes"])
+        return float(aux["loss_reg"])
+
+    ours_comp = reg_at(0.7) - reg_at(0.0)
+    ref_comp = float(fx["floss_obb_reg_proj"]) - float(fx["floss_obb_reg"])
+    np.testing.assert_allclose(ours_comp, ref_comp * 160.0 / 32.0, rtol=1e-3)
+
+
 # ---- FCOS target assignment -------------------------------------------------
 
 
