@@ -22,13 +22,34 @@ def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
     # constant lr instead — at <=3 steps a schedule is meaningless anyway.
     if int(cfg.onecycle_pct_start * total_steps) < 1:
         return optax.constant_schedule(cfg.lr)
-    return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
-        peak_value=cfg.lr,
-        pct_start=cfg.onecycle_pct_start,
-        div_factor=cfg.onecycle_div_factor,
-        final_div_factor=cfg.onecycle_final_div_factor,
-    )
+    # exact torch OneCycleLR(anneal_strategy="cos"): cosine warmup from
+    # lr/div_factor to lr over pct_start, then cosine decay to
+    # lr/div_factor/final_div_factor; phase boundary at
+    # pct_start*total_steps - 1 like torch's _schedule_phases. (optax's
+    # cosine_onecycle_schedule warms up linearly and ends at a different
+    # floor — up to 3% of peak off mid-warmup, measured.)
+    import jax.numpy as jnp
+
+    peak = cfg.lr
+    initial = peak / cfg.onecycle_div_factor
+    floor = initial / cfg.onecycle_final_div_factor
+    end1 = float(cfg.onecycle_pct_start * total_steps) - 1.0
+    end2 = float(total_steps) - 1.0
+
+    def _cos(start, end, pct):
+        return end + (start - end) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        pct1 = jnp.clip(step / jnp.maximum(end1, 1e-9), 0.0, 1.0)
+        pct2 = jnp.clip(
+            (step - end1) / jnp.maximum(end2 - end1, 1e-9), 0.0, 1.0
+        )
+        return jnp.where(
+            step <= end1, _cos(initial, peak, pct1), _cos(peak, floor, pct2)
+        )
+
+    return schedule
 
 
 def clip_with_nonfinite_guard(max_norm: float) -> optax.GradientTransformation:

@@ -68,6 +68,27 @@ class TestSchedule:
         assert lrs[1] == pytest.approx(1e-4, rel=1e-3)  # peak at pct_start
         assert lrs[2] < 1e-6  # annealed to peak/final_div
 
+    def test_onecycle_matches_torch_exactly(self):
+        # golden parity with the reference's scheduler
+        # (run_swin_mae3d.py:588-600 uses torch OneCycleLR, cos anneal)
+        import torch
+
+        for total, lr, pct in [(100, 1e-4, 0.3), (37, 1e-3, 0.45)]:
+            opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))],
+                                  lr=lr)
+            tsched = torch.optim.lr_scheduler.OneCycleLR(
+                opt, max_lr=lr, total_steps=total, pct_start=pct,
+                div_factor=25.0, final_div_factor=1e4)
+            ref = []
+            for _ in range(total):
+                ref.append(opt.param_groups[0]["lr"])
+                opt.step()
+                tsched.step()
+            sched = make_schedule(
+                TrainConfig(lr=lr, onecycle_pct_start=pct), total)
+            ours = np.array([float(sched(i)) for i in range(total)])
+            np.testing.assert_allclose(ours, ref, rtol=0, atol=lr * 1e-5)
+
     def test_tiny_total_steps_finite(self):
         # regression: optax truncates pct_start*total_steps to int 0 for
         # total_steps <= 3 and sched(0) became nan, nan-ing every param
