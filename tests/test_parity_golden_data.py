@@ -18,6 +18,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # pure numpy, <1 s
+
 FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_data.npz")
 
 
