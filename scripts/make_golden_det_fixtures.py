@@ -511,6 +511,30 @@ def main():
     fx["seg_inter"], fx["seg_union"] = inter.numpy(), union.numpy()
     fx["seg_target_area"] = tgta.numpy()
 
+    # ---- semantics losses: masked weighted CE + soft-mIoU ----------------
+    from model.metrics import mIoULoss_new, masked_cross_entropy
+
+    rs = np.random.RandomState(21)
+    lgt = rs.normal(size=(1, 8, 8, 8, K)).astype(np.float32)
+    tg = rs.randint(0, K, (1, 8, 8, 8))
+    tg.reshape(-1)[:K] = np.arange(K)  # every class present (see test note)
+    fx["sem_logits"], fx["sem_targets"] = lgt, tg
+    w = rs.uniform(0.5, 2.0, K).astype(np.float32)
+    w[0] = 0.0  # void class zeroed, like calculate_class_weights
+    fx["sem_weights"] = w
+    tt = torch.tensor(tg)
+    mask_t = (tt > 0).long()
+    for tag, crit in (
+        ("w", torch.nn.CrossEntropyLoss(weight=torch.tensor(w))),
+        ("unw", torch.nn.CrossEntropyLoss()),
+    ):
+        ce = masked_cross_entropy(crit, tt.unsqueeze(-1), torch.tensor(lgt),
+                                  mask_t.unsqueeze(-1), num_classes=K)
+        fx[f"sem_ce_{tag}"] = np.float32(ce.item())
+    _, miou = mIoULoss_new(n_classes=K)(
+        torch.tensor(lgt), tt.unsqueeze(-1), mask_t.unsqueeze(-1))
+    fx["sem_soft_miou"] = np.float32(miou.item())
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     np.savez_compressed(OUT, **fx)
     print(f"wrote {OUT}: {len(fx)} arrays, "

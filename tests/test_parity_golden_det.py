@@ -318,6 +318,24 @@ def test_masked_mse_psnr_match_reference(fx):
     np.testing.assert_allclose(got, fx["met_psnr"], rtol=1e-6)
 
 
+def test_semantics_losses_match_reference(fx):
+    """Weighted/unweighted masked CE (metrics.py:540-553 via the
+    CrossEntropyLoss criterion, feature_extractor.py:2562) and the
+    soft-mIoU metric (metrics.py:194-252 mIoULoss_new). The fixture uses
+    batch 1 with every class present: the reference means the soft IoU over
+    all K-1 classes per scene while ours means over classes present in the
+    batch — identical when all classes appear."""
+    from nerf_mae_tpu.models.heads import voxel_semantics_loss
+
+    lgt, tg = fx["sem_logits"], fx["sem_targets"]
+    ce_w, aux = voxel_semantics_loss(lgt, tg, fx["sem_weights"])
+    np.testing.assert_allclose(float(ce_w), fx["sem_ce_w"], rtol=1e-5)
+    ce_u, aux = voxel_semantics_loss(lgt, tg, None)
+    np.testing.assert_allclose(float(ce_u), fx["sem_ce_unw"], rtol=1e-5)
+    np.testing.assert_allclose(
+        float(aux["soft_miou"]), fx["sem_soft_miou"], rtol=1e-5)
+
+
 def test_intersection_and_union_matches_reference(fx):
     from nerf_mae_tpu.models.heads import intersection_and_union
 
