@@ -18,24 +18,25 @@ MAE_STEPS=${MAE_STEPS:-1500}
 DET_STEPS=${DET_STEPS:-500}
 BATCH=${BATCH:-8}
 HARD=${HARD---synthetic_hard}   # export HARD= to opt out  # clutter slabs/debris + small faint objects
+DEVDATA=${DEVDATA---device_data}   # export DEVDATA= to stream from host instead
 mkdir -p "$OUT"
 
 echo "=== 1/4: MAE pretrain ($MAE_STEPS steps @ $RES^3, $N_SCENES scenes) ==="
-python scripts/run_mae_pretrain.py --mode train --dataset synthetic --transfer_dtype bfloat16 $HARD \
+python scripts/run_mae_pretrain.py --mode train --dataset synthetic --transfer_dtype bfloat16 $DEVDATA $HARD \
     --n_synthetic "$N_SCENES" --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --steps "$MAE_STEPS" --lr 1e-4 \
     --checkpoint_dir "$OUT/mae" --eval_interval 100000 \
     --ckpt_interval 100000 --log_interval 50
 
 echo "=== 2/4: FCOS finetune from the MAE trunk ($N_FT scenes) ==="
-python scripts/run_fcos.py --mode train --dataset synthetic --transfer_dtype bfloat16 $HARD \
+python scripts/run_fcos.py --mode train --dataset synthetic --transfer_dtype bfloat16 $DEVDATA $HARD \
     --n_synthetic "$N_FT" --seed 77 --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --steps "$DET_STEPS" --lr 3e-4 \
     --mae_checkpoint "$OUT/mae" --checkpoint_dir "$OUT/fcos_mae" \
     --eval_interval 100000 --ckpt_interval 100000 --log_interval 50
 
 echo "=== 3/4: FCOS from scratch (same budget, same $N_FT scenes) ==="
-python scripts/run_fcos.py --mode train --dataset synthetic --transfer_dtype bfloat16 $HARD \
+python scripts/run_fcos.py --mode train --dataset synthetic --transfer_dtype bfloat16 $DEVDATA $HARD \
     --n_synthetic "$N_FT" --seed 77 --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --steps "$DET_STEPS" --lr 3e-4 \
     --checkpoint_dir "$OUT/fcos_scratch" \

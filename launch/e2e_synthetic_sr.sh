@@ -16,17 +16,18 @@ N_VAL=${N_VAL:-16}
 MAE_STEPS=${MAE_STEPS:-800}
 SR_STEPS=${SR_STEPS:-400}
 BATCH=${BATCH:-8}
+DEVDATA=${DEVDATA---device_data}   # export DEVDATA= to stream from host instead
 mkdir -p "$OUT"
 
 echo "=== 1/4: MAE pretrain ($MAE_STEPS steps @ $RES^3) ==="
-python scripts/run_mae_pretrain.py --mode train --dataset synthetic --transfer_dtype bfloat16 \
+python scripts/run_mae_pretrain.py --mode train --dataset synthetic --transfer_dtype bfloat16 $DEVDATA \
     --n_synthetic "$N_SCENES" --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --steps "$MAE_STEPS" --lr 1e-4 \
     --checkpoint_dir "$OUT/mae" --eval_interval 100000 \
     --ckpt_interval 100000 --log_interval 50
 
 echo "=== 2/4: VoxelSR finetune from the MAE trunk ==="
-python scripts/run_voxel_sr.py --mode train --dataset synthetic --transfer_dtype bfloat16 \
+python scripts/run_voxel_sr.py --mode train --dataset synthetic --transfer_dtype bfloat16 $DEVDATA \
     --n_synthetic "$N_FT" --seed 77 --backbone_type "$BB" \
     --resolution "$RES" --out_resolution "$OUT_RES" \
     --batch_size "$BATCH" --steps "$SR_STEPS" --lr 3e-4 \
@@ -34,7 +35,7 @@ python scripts/run_voxel_sr.py --mode train --dataset synthetic --transfer_dtype
     --eval_interval 100000 --ckpt_interval 100000 --log_interval 50
 
 echo "=== 3/4: VoxelSR from scratch (same budget) ==="
-python scripts/run_voxel_sr.py --mode train --dataset synthetic --transfer_dtype bfloat16 \
+python scripts/run_voxel_sr.py --mode train --dataset synthetic --transfer_dtype bfloat16 $DEVDATA \
     --n_synthetic "$N_FT" --seed 77 --backbone_type "$BB" \
     --resolution "$RES" --out_resolution "$OUT_RES" \
     --batch_size "$BATCH" --steps "$SR_STEPS" --lr 3e-4 \

@@ -115,6 +115,12 @@ def add_common_flags(p):
                    choices=["float32", "bfloat16", "float16"],
                    help="downcast float batch arrays on the host before "
                         "the device transfer (halves host->device bytes)")
+    p.add_argument("--device_data", action="store_true",
+                   help="upload the whole (fixed) training corpus to HBM "
+                        "once and serve batches as on-device gathers — "
+                        "removes per-step host->device grid transfers "
+                        "(needs corpus to fit HBM; excludes host "
+                        "augmentation)")
     p.add_argument("--mesh_space", default=1, type=int,
                    help="shard the voxel grid's first spatial dim over this "
                         "many devices ([data, space] mesh — lifts the "
@@ -159,6 +165,41 @@ def overlap_batches(batches, mesh, depth: int, transfer_dtype: str = None):
     if depth > 0:
         return prefetch(batches, depth=depth, map_fn=put)
     return (put(b) for b in batches)
+
+
+def make_train_batches(args, mesh, host_iter_factory, corpus_iter_factory=None):
+    """Build the training batch stream for a driver.
+
+    Default: host batch iterator wrapped in the prefetch/device_put overlap
+    pipeline (overlap_batches). Under --device_data: drain
+    `corpus_iter_factory()` once (an iterator covering every scene exactly
+    once), upload the corpus to HBM, and serve jitted on-device gathers
+    (data.device_cache) — per-step host->device traffic collapses to a [B]
+    int32 index vector. The reference re-reads .npz scenes from disk every
+    epoch (reference: nerf_rpn/datasets.py:88-101); on TPU hosts with a slow
+    device link the one-time upload is the difference between
+    transfer-bound and compute-bound training.
+    """
+    if not getattr(args, "device_data", False):
+        return overlap_batches(host_iter_factory(), mesh, args.prefetch,
+                               transfer_dtype=args.transfer_dtype)
+    aug = [f for f in ("flip_prob", "rotate_prob", "rot_scale_prob")
+           if getattr(args, f, 0.0)]
+    if aug:
+        raise SystemExit(
+            "--device_data caches a fixed corpus once; per-epoch host "
+            "augmentation is incompatible (drop "
+            + ", ".join(f"--{a}" for a in aug) + ")")
+    if getattr(args, "patch_major_input", False):
+        raise SystemExit("--device_data and --patch_major_input are "
+                         "mutually exclusive (the cache stores raw grids)")
+    from nerf_mae_tpu.data.device_cache import (corpus_from_iterator,
+                                                device_corpus_batches)
+    corpus = corpus_from_iterator(
+        (corpus_iter_factory or host_iter_factory)())
+    return device_corpus_batches(
+        corpus, mesh, args.batch_size, seed=args.seed,
+        transfer_dtype=args.transfer_dtype)
 
 
 def load_mae_params(mae_checkpoint_dir: str, mae_cfg):

@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 from common import (add_common_flags, build_mesh, benchmark_step, load_mae_params,
-                    overlap_batches, setup)
+                    make_train_batches, setup)
 
 import jax
 
@@ -156,12 +156,16 @@ def main(argv=None):
             state = state.replace(opt_state=restored["opt_state"])
         log.info("restored checkpoint from %s", args.checkpoint)
 
-    batches = overlap_batches(
-        detection_batch_iterator(
+    batches = make_train_batches(
+        args, mesh,
+        lambda: detection_batch_iterator(
             train_ds, args.batch_size, args.resolution, max_gt=args.max_gt,
             seed=args.seed, workers=args.workers,
         ),
-        mesh, args.prefetch, transfer_dtype=args.transfer_dtype,
+        corpus_iter_factory=lambda: detection_batch_iterator(
+            train_ds, args.batch_size, args.resolution, max_gt=args.max_gt,
+            shuffle=False, loop=False, drop_last=False, workers=args.workers,
+        ),
     )
 
     def run_eval(state):

@@ -96,6 +96,12 @@ def parse_args(argv=None):
                    choices=["float32", "bfloat16", "float16"],
                    help="downcast float batch arrays on the host before "
                         "the device transfer (halves host->device bytes)")
+    p.add_argument("--device_data", action="store_true",
+                   help="upload the whole (fixed) training corpus to HBM "
+                        "once and serve batches as on-device gathers — "
+                        "removes per-step host->device grid transfers "
+                        "(needs corpus to fit HBM; excludes host "
+                        "augmentation)")
     return p.parse_args(argv)
 
 
@@ -206,17 +212,23 @@ def main(argv=None):
                          SWIN_PRESETS["swin_s"]).patch_size[0]
         if args.patch_major_input else 0
     )
-    batches = mae_batch_iterator(
-        train_ds, args.batch_size, args.resolution, seed=args.seed,
-        workers=args.workers, patch_major=pm,
-    )
-    # overlap_batches also applies the [data, space] grid specs when
+    # make_train_batches also applies the [data, space] grid specs when
     # --mesh_space > 1 (device_put on the prefetch thread: batch N+1's host
-    # work and H2D transfer overlap the device step on batch N)
-    from common import overlap_batches
+    # work and H2D transfer overlap the device step on batch N); under
+    # --device_data the corpus lives in HBM and batches are on-device gathers
+    from common import make_train_batches
 
-    batches = overlap_batches(batches, mesh, args.prefetch,
-                              transfer_dtype=args.transfer_dtype)
+    batches = make_train_batches(
+        args, mesh,
+        lambda: mae_batch_iterator(
+            train_ds, args.batch_size, args.resolution, seed=args.seed,
+            workers=args.workers, patch_major=pm,
+        ),
+        corpus_iter_factory=lambda: mae_batch_iterator(
+            train_ds, args.batch_size, args.resolution, shuffle=False,
+            loop=False, drop_last=False, workers=args.workers,
+        ),
+    )
 
     def run_eval(state):
         it = mae_batch_iterator(

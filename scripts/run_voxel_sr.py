@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 from common import (add_common_flags, build_mesh, benchmark_step, load_mae_params,
-                    overlap_batches, setup)
+                    make_train_batches, setup)
 
 import jax
 
@@ -127,8 +127,15 @@ def main(argv=None):
         if args.mode == "train":
             state = state.replace(opt_state=restored["opt_state"])
 
-    batches = overlap_batches(batch_iter(train_ds, args), mesh, args.prefetch,
-                              transfer_dtype=args.transfer_dtype)
+    # corpus pass at batch_size=1 so the device cache holds every scene
+    # (batch_iter always drops ragged tails)
+    one = argparse.Namespace(**{**vars(args), "batch_size": 1})
+    batches = make_train_batches(
+        args, mesh,
+        lambda: batch_iter(train_ds, args),
+        corpus_iter_factory=lambda: batch_iter(
+            train_ds, one, shuffle=False, loop=False),
+    )
 
     def run_eval(state):
         ms = []
