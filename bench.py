@@ -176,9 +176,10 @@ def main():
         remat=full_size,
     )
 
-    # NERF_MAE_PATCH_MAJOR=1: measure the host-pre-patchified input path
-    # (dense patch embed; see the layout note in config.MAEConfig)
-    patch_major = os.environ.get("NERF_MAE_PATCH_MAJOR", "0") == "1"
+    # Patch-major host input is the default train path (dense patch embed;
+    # measured 313.7 -> 258.0 ms on swin_b@160^3, r4 A/B — PERF.md).
+    # NERF_MAE_PATCH_MAJOR=0 measures the dense-grid conv path instead.
+    patch_major = os.environ.get("NERF_MAE_PATCH_MAJOR", "1") == "1"
     # batch 8/chip is the measured operating point (PERF.md); try it first —
     # larger batches OOM on v5e and each failed probe costs a ~5 min remote
     # compile. Fallback probes run only while the budget allows.

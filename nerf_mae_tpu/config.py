@@ -121,9 +121,12 @@ class MAEConfig:
     # the voxel grid [B, R, R, R, 4]; the patch embed then runs as one
     # MXU-friendly K=256 matmul instead of a conv over the 4-channel-minor
     # voxel layout (the layout transpose dominates its cost, PERF.md).
-    # Same parameter tree either way; transfer bytes unchanged. Enabled by
-    # --patch_major_input in run_mae_pretrain.py / NERF_MAE_PATCH_MAJOR=1
-    # in bench.py.
+    # Same parameter tree either way; transfer bytes unchanged. Default-on
+    # since r4 (A/B: 313.7 -> 258.0 ms, +21.6% — PERF.md); opt out with
+    # --no-patch_major_input in run_mae_pretrain.py / NERF_MAE_PATCH_MAJOR=0
+    # in bench.py. Composes with --device_data (the HBM corpus is stored
+    # patch-major) and the [data, space] spatial mesh (first spatial dim
+    # stays axis 1).
 
     def __post_init__(self):
         # The UNETR decoder doubles the token grid at every skip level, so

@@ -27,8 +27,11 @@ leaves (ndim >= 4) are stored AND served sharded over `space`, so the
 corpus cache composes with spatial (grid) parallelism.
 
 Not compatible with per-epoch host augmentation (flips/rot90/rot-scale
-draw fresh randomness each visit) or the patch-major host layout — the
-drivers guard those combinations.
+draw fresh randomness each visit) — the drivers guard that. The
+patch-major host layout composes: the corpus is drained (and stored)
+already patch-major, so every gather serves [B,T,T,T,p^3,C] with zero
+per-step relayout; the first spatial dim stays axis 1, so the
+[data, space] store/serve specs below apply unchanged.
 """
 
 from __future__ import annotations

@@ -190,9 +190,10 @@ def make_train_batches(args, mesh, host_iter_factory, corpus_iter_factory=None):
             "--device_data caches a fixed corpus once; per-epoch host "
             "augmentation is incompatible (drop "
             + ", ".join(f"--{a}" for a in aug) + ")")
-    if getattr(args, "patch_major_input", False):
-        raise SystemExit("--device_data and --patch_major_input are "
-                         "mutually exclusive (the cache stores raw grids)")
+    # --patch_major_input composes: the corpus iterator emits patch-major
+    # [N,T,T,T,p^3,4] leaves, the cache stores and gathers that layout
+    # directly (first spatial dim is still axis 1, so the [data, space]
+    # store/serve specs apply unchanged).
     from nerf_mae_tpu.data.device_cache import (corpus_from_iterator,
                                                 device_corpus_batches)
     corpus = corpus_from_iterator(

@@ -177,7 +177,7 @@ def test_mae_train_step_consumes_device_batches():
 
 
 @pytest.mark.quick
-def test_driver_guard_rejects_augmentation_and_patch_major():
+def test_driver_guard_rejects_augmentation():
     import os
     import sys
 
@@ -199,8 +199,44 @@ def test_driver_guard_rejects_augmentation_and_patch_major():
     with pytest.raises(SystemExit, match="augmentation"):
         make_train_batches(A(), make_mesh(1), lambda: iter([]))
 
-    a = A()
-    a.flip_prob = 0.0
-    a.patch_major_input = True
-    with pytest.raises(SystemExit, match="patch_major"):
-        make_train_batches(a, make_mesh(1), lambda: iter([]))
+
+@pytest.mark.quick
+def test_patch_major_corpus_gathers_and_matches_host_layout():
+    """--device_data + patch-major (the r4 default train path): the corpus
+    is stored [N,T,T,T,p^3,C] and every gather serves that layout bit-for-
+    bit against the host iterator, on both mesh shapes."""
+    ds = _dataset(n=8, r=8)
+    host = list(mae_batch_iterator(ds, 8, 8, shuffle=False, loop=False,
+                                   drop_last=False, patch_major=4))
+    corpus = corpus_from_iterator(iter(host))
+    assert corpus["grids"].shape == (8, 2, 2, 2, 64, 4)
+    # data mesh: batch spans all 8 devices; [data=4, space=2]: batch 4
+    for mesh, bs in ((make_mesh(), 8), (make_mesh_2d(None, 2), 4)):
+        b = next(device_corpus_batches(corpus, mesh, bs, shuffle=False))
+        np.testing.assert_array_equal(np.asarray(b["grids"]),
+                                      host[0]["grids"][:bs])
+
+
+def test_mae_train_step_consumes_patch_major_device_batches():
+    """End-to-end: the MAE trainer trains straight off patch-major gathered
+    batches (ndim-6 dispatch) on the 8-device data mesh."""
+    from nerf_mae_tpu.config import MAEConfig, SwinConfig, TrainConfig
+    from nerf_mae_tpu.train.trainer import MAETrainer
+
+    cfg = MAEConfig(
+        swin=SwinConfig(embed_dim=12, depths=(1, 1, 2, 1),
+                        num_heads=(3, 6, 12, 24)),
+        resolution=32, compute_dtype="float32", remat=False,
+    )
+    mesh = make_mesh()
+    trainer = MAETrainer(cfg, TrainConfig(batch_size=8, lr=1e-3), 4, mesh)
+    state = trainer.init(jax.random.PRNGKey(0))
+    ds = _DS(synthetic_scenes(8, 32, 0, min_size=32))
+    corpus = corpus_from_iterator(
+        mae_batch_iterator(ds, 8, 32, shuffle=False, loop=False,
+                           drop_last=False,
+                           patch_major=cfg.swin.patch_size[0]))
+    batches = device_corpus_batches(corpus, mesh, 8)
+    for _ in range(2):
+        state, m = trainer.train_step(state, next(batches))
+    assert np.isfinite(float(m["loss"]))
