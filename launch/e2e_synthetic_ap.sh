@@ -21,12 +21,16 @@ HARD=${HARD---synthetic_hard}   # export HARD= to opt out  # clutter slabs/debri
 DEVDATA=${DEVDATA---device_data}   # export DEVDATA= to stream from host instead
 mkdir -p "$OUT"
 
+if [ -z "${SKIP_MAE:-}" ]; then
 echo "=== 1/4: MAE pretrain ($MAE_STEPS steps @ $RES^3, $N_SCENES scenes) ==="
 python scripts/run_mae_pretrain.py --mode train --dataset synthetic --transfer_dtype bfloat16 $DEVDATA $HARD \
     --n_synthetic "$N_SCENES" --backbone_type "$BB" --resolution "$RES" \
     --batch_size "$BATCH" --steps "$MAE_STEPS" --lr 1e-4 \
     --checkpoint_dir "$OUT/mae" --eval_interval 100000 \
     --ckpt_interval 100000 --log_interval 50
+else
+echo "=== 1/4: SKIP_MAE set — resuming from existing $OUT/mae checkpoint ==="
+fi
 
 echo "=== 2/4: FCOS finetune from the MAE trunk ($N_FT scenes) ==="
 python scripts/run_fcos.py --mode train --dataset synthetic --transfer_dtype bfloat16 $DEVDATA $HARD \

@@ -155,7 +155,10 @@ class MAETrainer:
         )
         p = self.mae_cfg.swin.patch_size[0]
         pred_p = pred if pred.ndim == 6 else patchify_3d(pred, p)
-        tgt_p = patchify_3d(batch["grids"].astype(jnp.float32), p)
+        tgt = batch["grids"].astype(jnp.float32)
+        # Patch-major batches (the default train layout, and the layout the
+        # --device_data corpus stores) arrive already patchified [B,T,T,T,p^3,C].
+        tgt_p = tgt if tgt.ndim == 6 else patchify_3d(tgt, p)
         alpha_mask = tgt_p[..., 3:] > 0.01
         return {
             "loss": loss,

@@ -174,6 +174,39 @@ class TestSpatialDenseHeads:
 
 # mid tier: three full MAETrainer compiles (~2-3 min on 1 CPU core)
 class TestSpatialParity:
+    def test_patch_major_spatial_parity(self):
+        """Patch-major batches [B,T,T,T,p^3,4] (the default train layout and
+        the --device_data storage layout) must compose with the [data, space]
+        mesh: same train metrics and eval PSNR as the dense-grid batch on the
+        same mesh. Pins the claim in scripts/common.py that grid_pspec's
+        (batch, first-spatial) axes apply unchanged to the 6-D layout."""
+        from nerf_mae_tpu.ops.patchify import patchify_np
+
+        old = jax.config.jax_use_shardy_partitioner
+        try:
+            mesh = make_mesh_2d(2, 4)
+            cfg = _cfg()
+            p = cfg.swin.patch_size[0]
+            trainer = MAETrainer(cfg, TrainConfig(batch_size=4), 50, mesh)
+            dense_np = _batch()
+            pm_np = {"grids": patchify_np(dense_np["grids"], p),
+                     "sizes": dense_np["sizes"]}
+            out = []
+            for b_np in (dense_np, pm_np):
+                state = trainer.init(jax.random.PRNGKey(0))
+                batch = shard_batch(b_np, mesh,
+                                    specs={"grids": grid_pspec(mesh)})
+                state, m = trainer.train_step(state, batch)
+                ev = trainer.eval_step(state, batch)
+                out.append({**{k: float(v) for k, v in m.items()},
+                            **{"eval_" + k: float(v) for k, v in ev.items()}})
+            ref, got = out
+            for k in ref:
+                np.testing.assert_allclose(got[k], ref[k], rtol=2e-4,
+                                           atol=1e-5, err_msg=f"metric {k}")
+        finally:
+            jax.config.update("jax_use_shardy_partitioner", old)
+
     def test_spatial_matches_single_device(self):
         """(2 data x 4 space) and (1 x 8 pure-spatial) must reproduce the
         1-device train metrics and eval PSNR bit-for-tolerance. The spatial
