@@ -110,14 +110,14 @@ def process_aabbs(ann: dict, meta: dict, min_size: float = 0.0) -> np.ndarray:
     return np.asarray(boxes, np.float32).reshape(-1, 6)
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--annotations", required=True, help="annotation json")
     p.add_argument("--features_npz", required=True, help="scene npz (metadata)")
     p.add_argument("--output", required=True, help="output .npy boxes")
     p.add_argument("--format", default="obb", choices=["obb", "aabb"])
     p.add_argument("--min_size", default=0.0, type=float)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     with open(args.annotations) as f:
         ann = json.load(f)

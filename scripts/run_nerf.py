@@ -69,6 +69,14 @@ def parse_args(argv=None):
     p.add_argument("--bbox_max", nargs=3, type=float, default=None)
     p.add_argument("--bbox_json", default=None,
                    help="instance bbox json (reference format) for scene bounds")
+    p.add_argument("--ngp_frame", action="store_true",
+                   help="extract over the transforms.json room_bbox and stamp "
+                        "the npz with instant-ngp-convention metadata (bbox in "
+                        "ngp coords = (world*scale+offset) cycled xyz->yzx, "
+                        "plus the json's scale/offset) so preprocess_boxes.py "
+                        "composes directly — the frame the reference's "
+                        "Front3D/HM3D grids ship in (reference: "
+                        "data/hm3d/preprocess_boxes.py nerf_matrix_to_ngp)")
     p.add_argument("--downscale", default=1, type=int)
     p.add_argument("--white_bkgd", action="store_true")
     p.add_argument("--seed", default=0, type=int)
@@ -167,7 +175,19 @@ def main(argv=None):
             "falls back to the predicted-depth band and the depth NLL loss "
             "is inactive"
         )
-    bbox_min, bbox_max = scene_bounds(args, poses)
+    ngp_meta = None
+    if args.ngp_frame:
+        with open(os.path.join(args.scene_dir, args.transforms)) as f:
+            ngp_meta = json.load(f)
+        for k in ("room_bbox", "scale", "offset"):
+            if k not in ngp_meta:
+                raise SystemExit(
+                    f"--ngp_frame needs '{k}' in {args.transforms} "
+                    "(produce it with scripts/save_transforms.py)")
+        bbox_min, bbox_max = (np.asarray(b, np.float32)
+                              for b in ngp_meta["room_bbox"])
+    else:
+        bbox_min, bbox_max = scene_bounds(args, poses)
     scene_scale = float(np.abs(np.concatenate([bbox_min, bbox_max])).max())
 
     trainer = NeRFTrainer(
@@ -203,6 +223,15 @@ def main(argv=None):
             trainer.fine_params(params), trainer._apply, bbox_min, bbox_max,
             poses, max_res=args.max_res,
         )
+        if ngp_meta is not None:
+            # rgbsigma stays in world-axis order (the reference's grids do
+            # too); only the metadata moves to the ngp frame: points map as
+            # p_ngp = (p*scale + offset)[[1, 2, 0]] (the translation part of
+            # nerf_matrix_to_ngp), which preprocess_boxes undoes with PERM
+            s, off = float(ngp_meta["scale"]), np.asarray(ngp_meta["offset"])
+            out["bbox_min"] = (out["bbox_min"] * s + off)[[1, 2, 0]]
+            out["bbox_max"] = (out["bbox_max"] * s + off)[[1, 2, 0]]
+            out["scale"], out["offset"] = s, off
         os.makedirs(args.extract_dir, exist_ok=True)
         path = os.path.join(args.extract_dir, f"{args.scene_id}.npz")
         np.savez_compressed(path, **out)
