@@ -142,9 +142,13 @@ def _fused_window_attn_kernel(
         rows = slice(w * m, (w + 1) * m)
         head_outs = []
         for h in range(num_heads):  # static unroll
-            q = qkv[rows, h * hd:(h + 1) * hd] * scale  # [N, hd]
-            k = qkv[rows, c + h * hd: c + (h + 1) * hd]
-            v = qkv[rows, 2 * c + h * hd: 2 * c + (h + 1) * hd]
+            # q@k / p@v run in the compute dtype (f32 accumulate), matching
+            # the XLA path (window_attention.py:150-173) and the v5e fast
+            # MXU path — f32-input dots decompose into multiple passes
+            q = (qkv[rows, h * hd:(h + 1) * hd] * scale).astype(x_ref.dtype)
+            k = qkv[rows, c + h * hd: c + (h + 1) * hd].astype(x_ref.dtype)
+            v = qkv[rows, 2 * c + h * hd: 2 * c + (h + 1) * hd].astype(
+                x_ref.dtype)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -154,7 +158,8 @@ def _fused_window_attn_kernel(
                 logits = logits + shift_mask_ref[w]
             p = jax.nn.softmax(logits, axis=-1)
             head_outs.append(
-                jnp.dot(p, v, preferred_element_type=jnp.float32)
+                jnp.dot(p.astype(x_ref.dtype), v,
+                        preferred_element_type=jnp.float32)
             )  # [N, hd]
         outs.append(jnp.concatenate(head_outs, axis=-1))  # [N, C]
     o = jnp.concatenate(outs, axis=0)  # [WP*N, C]
@@ -359,34 +364,40 @@ def _fused_window_attn_bwd_kernel(
         rows = slice(w * m, (w + 1) * m)
         head_o, dqs, dks, dvs = [], [], [], []
         for h in range(num_heads):
-            q = qkv[rows, h * hd:(h + 1) * hd] * scale
-            k = qkv[rows, c + h * hd: c + (h + 1) * hd]
-            v = qkv[rows, 2 * c + h * hd: 2 * c + (h + 1) * hd]
+            # attention dots in the compute dtype (f32 accumulate) — same
+            # rationale as the forward kernel; softmax/dl stay f32
+            q = (qkv[rows, h * hd:(h + 1) * hd] * scale).astype(x_ref.dtype)
+            k = qkv[rows, c + h * hd: c + (h + 1) * hd].astype(x_ref.dtype)
+            v = qkv[rows, 2 * c + h * hd: 2 * c + (h + 1) * hd].astype(
+                x_ref.dtype)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + rel_bias_ref[h]
             if has_shift:
                 logits = logits + shift_mask_ref[w]
-            p = jax.nn.softmax(logits, axis=-1)  # [N, N]
-            head_o.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
+            p = jax.nn.softmax(logits, axis=-1)  # [N, N] f32
+            p_d = p.astype(x_ref.dtype)
+            head_o.append(jnp.dot(p_d, v,
+                                  preferred_element_type=jnp.float32))
 
-            do_h = do[rows, h * hd:(h + 1) * hd]  # [N, hd]
+            do_h = do[rows, h * hd:(h + 1) * hd].astype(x_ref.dtype)
             dp = jax.lax.dot_general(
                 do_h, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [N, N]
             dvs.append(jax.lax.dot_general(
-                p, do_h, (((0,), (0,)), ((), ())),
+                p_d, do_h, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))  # [N, hd]
             dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             dlogit_ref[h] += dl
+            dl_d = dl.astype(x_ref.dtype)
             dqs.append(
-                jnp.dot(dl, k, preferred_element_type=jnp.float32) * scale
+                jnp.dot(dl_d, k, preferred_element_type=jnp.float32) * scale
             )
             dks.append(jax.lax.dot_general(
-                dl, q, (((0,), (0,)), ((), ())),
+                dl_d, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))  # [N, hd]  (note: q here carries the fwd scale; see below)
         o_rows.append(jnp.concatenate(head_o, axis=-1))

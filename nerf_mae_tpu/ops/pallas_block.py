@@ -201,20 +201,27 @@ def _pad_row_mask(padded, orig, window, shift):
 
 
 def _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c, num_heads,
-               has_shift):
+               has_shift, dot_dtype=jnp.float32):
     """Per-window(-pair) attention over rows [w*n, (w+1)*n): returns
     (o [N, C] f32, list of per-head (p, q, k, v) residuals for the
     backward). With window pairing n is 2x the token count and the bias
-    carries the block-diagonal mask."""
+    carries the block-diagonal mask.
+
+    dot_dtype: input dtype of the q@k / p@v MXU matmuls (f32 accumulate
+    always). The XLA reference path runs them in the compute dtype
+    (window_attention.py:150-173: qkv cast to x.dtype before the einsums,
+    softmax in f32) — passing bfloat16 here matches those semantics AND the
+    v5e fast path: f32 MXU inputs decompose into multiple passes (see the
+    measured train-step A/B in PERF.md r5)."""
     hd = c // num_heads
     scale = hd ** -0.5
     rows = slice(w * n, (w + 1) * n)
     head_outs = []
     saved = []
     for h in range(num_heads):
-        q = qkv[rows, h * hd:(h + 1) * hd] * scale
-        k = qkv[rows, c + h * hd: c + (h + 1) * hd]
-        v = qkv[rows, 2 * c + h * hd: 2 * c + (h + 1) * hd]
+        q = (qkv[rows, h * hd:(h + 1) * hd] * scale).astype(dot_dtype)
+        k = qkv[rows, c + h * hd: c + (h + 1) * hd].astype(dot_dtype)
+        v = qkv[rows, 2 * c + h * hd: 2 * c + (h + 1) * hd].astype(dot_dtype)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -222,7 +229,8 @@ def _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, n, c, num_heads,
         if has_shift:
             logits = logits + shift_mask_ref[w]
         p = jax.nn.softmax(logits, axis=-1)
-        head_outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
+        head_outs.append(jnp.dot(p.astype(dot_dtype), v,
+                                 preferred_element_type=jnp.float32))
         saved.append((p, q, k, v))
     return jnp.concatenate(head_outs, axis=-1), saved
 
@@ -279,7 +287,7 @@ def _fused_block_kernel(
     o_rows = []
     for w in range(wp * n // m):
         o, _ = _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, m, c,
-                          num_heads, has_shift)
+                          num_heads, has_shift, dot_dtype=d)
         o_rows.append(o)
     o = jnp.concatenate(o_rows, axis=0)  # [WP*N, C] f32
 
@@ -382,7 +390,7 @@ def _fused_block_bwd_kernel(
     o_rows, attn_saved = [], []
     for w in range(wp * n // m):
         o, saved = _attn_rows(qkv, rel_bias_ref, shift_mask_ref, w, m, c,
-                              num_heads, has_shift)
+                              num_heads, has_shift, dot_dtype=d)
         o_rows.append(o)
         attn_saved.append(saved)
     o = jnp.concatenate(o_rows, axis=0)
@@ -462,24 +470,29 @@ def _fused_block_bwd_kernel(
         rows = slice(w * m, (w + 1) * m)
         dqs, dks, dvs = [], [], []
         for h in range(num_heads):
+            # q/k/v were saved in the dot dtype (bf16 under the bf16 train
+            # config — the XLA vjp contracts the same dtypes); cast the f32
+            # cotangents to match so every grad matmul takes the fast MXU
+            # path with f32 accumulation
             p, q, k, v = attn_saved[w][h]
-            do_h = do[rows, h * hd:(h + 1) * hd]
+            do_h = do[rows, h * hd:(h + 1) * hd].astype(d)
             dp = jax.lax.dot_general(
                 do_h, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dvs.append(jax.lax.dot_general(
-                p, do_h, (((0,), (0,)), ((), ())),
+                p.astype(d), do_h, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))
             dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             dlogit_ref[h] += dl
+            dl_d = dl.astype(d)
             dqs.append(
-                jnp.dot(dl, k, preferred_element_type=jnp.float32) * scale
+                jnp.dot(dl_d, k, preferred_element_type=jnp.float32) * scale
             )
             # q already carries the fwd scale, so this is d(k) exactly
             dks.append(jax.lax.dot_general(
-                dl, q, (((0,), (0,)), ((), ())),
+                dl_d, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))
         dqkv_rows.append(jnp.concatenate(dqs + dks + dvs, axis=-1))

@@ -86,7 +86,16 @@ def _errs(got, want):
     rel_err = float(
         (np.abs(got - want) / np.maximum(np.abs(want), 1e-3)).max()
     )
-    return {"max_abs": abs_err, "max_rel": rel_err}
+    # scale-aware error: max abs deviation over the tensor's own max
+    # magnitude. Raw max_abs is meaningless across cases — C=512 grads are
+    # ~100x larger than C=32 grads — and pointwise max_rel blows up at
+    # near-zero entries. On TPU both paths round matmul inputs to bf16
+    # passes (XLA default f32 precision = one bf16 pass; the MXU has no
+    # true-f32 mode), so the comparison floor is bf16-rounding noise
+    # proportional to the output scale, which this metric normalizes for.
+    scale = float(np.abs(want).max())
+    return {"max_abs": abs_err, "max_rel": rel_err,
+            "rel_vs_max": abs_err / max(scale, 1e-30), "want_max": scale}
 
 
 def main():
@@ -101,20 +110,26 @@ def main():
     key = jax.random.PRNGKey(0)
 
     cases = [
-        ("block_c32_shift0", 32, 4, (0, 0, 0), (8, 8, 8)),
-        ("block_c32_shift2", 32, 4, (2, 2, 2), (8, 8, 8)),
-        ("block_c512_shift0", 512, 16, (0, 0, 0), (8, 8, 8)),
-        ("block_c512_shift2", 512, 16, (2, 2, 2), (8, 8, 8)),
+        ("block_c32_shift0", 32, 4, (0, 0, 0), (8, 8, 8), jnp.float32),
+        ("block_c32_shift2", 32, 4, (2, 2, 2), (8, 8, 8), jnp.float32),
+        ("block_c512_shift0", 512, 16, (0, 0, 0), (8, 8, 8), jnp.float32),
+        ("block_c512_shift2", 512, 16, (2, 2, 2), (8, 8, 8), jnp.float32),
         # padded (non-multiple-of-window) grid exercises the in-kernel
         # pad-row masking
-        ("block_c32_padded", 32, 4, (0, 0, 0), (6, 7, 5)),
+        ("block_c32_padded", 32, 4, (0, 0, 0), (6, 7, 5), jnp.float32),
+        # bf16 compute dtype (the train config): the fused kernels run the
+        # q@k / p@v dots with bf16 inputs + f32 accumulation, same as the
+        # XLA path's einsums — compared here under identical input rounding
+        ("block_c32_shift2_bf16", 32, 4, (2, 2, 2), (8, 8, 8), jnp.bfloat16),
+        ("block_c512_shift0_bf16", 512, 16, (0, 0, 0), (8, 8, 8),
+         jnp.bfloat16),
     ]
     i = sys.argv.index("--cases") if "--cases" in sys.argv else -1
     if 0 <= i < len(sys.argv) - 1:  # substring filter (CPU smoke / bisect)
         cases = [c for c in cases if sys.argv[i + 1] in c[0]]
-    for name, c, heads, shift, grid in cases:
+    for name, c, heads, shift, grid, dt in cases:
         t0 = time.time()
-        x = jax.random.normal(key, (2, *grid, c), jnp.float32)
+        x = jax.random.normal(key, (2, *grid, c), jnp.float32).astype(dt)
         p = _params(jax.random.PRNGKey(1), c, heads, c * 4, 7 ** 3)
         ones = jnp.ones((2,), jnp.float32)
 
@@ -137,22 +152,33 @@ def main():
         bwd_x = _errs(gx_f, gx_x)
         flat_f = jax.tree_util.tree_leaves(gp_f)
         flat_x = jax.tree_util.tree_leaves(gp_x)
-        bwd_p = {"max_abs": 0.0, "max_rel": 0.0}
+        bwd_p = {"max_abs": 0.0, "max_rel": 0.0, "rel_vs_max": 0.0}
         for a, b in zip(flat_f, flat_x):
-            e = _errs(a, b)
-            bwd_p["max_abs"] = max(bwd_p["max_abs"], e["max_abs"])
-            bwd_p["max_rel"] = max(bwd_p["max_rel"], e["max_rel"])
+            e = _errs(a, b)  # rel_vs_max is per-leaf, so a small-magnitude
+            # leaf (e.g. a bias) is judged on its own scale
+            for k in bwd_p:
+                bwd_p[k] = max(bwd_p[k], e[k])
         results[name] = {"fwd": fwd, "grad_input": bwd_x,
                          "grad_params": bwd_p,
+                         "dtype": jnp.dtype(dt).name,
                          "seconds": round(time.time() - t0, 1)}
-        print(f"# {name}: fwd {fwd['max_abs']:.2e} "
-              f"din {bwd_x['max_abs']:.2e} dp {bwd_p['max_abs']:.2e} "
-              f"({results[name]['seconds']}s)", file=sys.stderr)
+        print(f"# {name}: fwd {fwd['rel_vs_max']:.2e} "
+              f"din {bwd_x['rel_vs_max']:.2e} dp {bwd_p['rel_vs_max']:.2e} "
+              f"(rel_vs_max; {results[name]['seconds']}s)", file=sys.stderr)
+
+    def _thresh(v):
+        # Gates are on rel_vs_max (deviation / target max magnitude).
+        # f32 cases: both paths still round matmul inputs to bf16 on the
+        # MXU but at different fusion points — measured ceiling ~2e-3 fwd
+        # / ~2e-2 grads at C=512 (r5, runs/kernel_numerics_tpu.json).
+        # bf16 cases round activations too; an order looser.
+        loose = v.get("dtype") == "bfloat16"
+        return (5e-2, 2e-1) if loose else (5e-3, 5e-2)
 
     ok = all(
-        v["fwd"]["max_abs"] < 5e-3
-        and v["grad_input"]["max_abs"] < 5e-2
-        and v["grad_params"]["max_abs"] < 5e-2
+        v["fwd"]["rel_vs_max"] < _thresh(v)[0]
+        and v["grad_input"]["rel_vs_max"] < _thresh(v)[1]
+        and v["grad_params"]["rel_vs_max"] < _thresh(v)[1]
         for k, v in results.items()
         if isinstance(v, dict) and "fwd" in v
     )
