@@ -136,6 +136,9 @@ def _pick_group_block(n_windows: int, num_heads: int, n: int, c: int,
     (the early stages are overhead-bound: ~1000 programs of ~0.4 GFLOP at
     wp=8). wp must divide the per-sample window count so the shift-mask
     block stays contiguous; wp*heads is capped to bound kernel unrolling."""
+    override = int(os.environ.get(f"NERF_MAE_FUSED_WP_{mode.upper()}", "0"))
+    if override and n_windows % override == 0:  # perf-sweep escape hatch
+        return override
     estimate = _bwd_vmem_estimate if mode == "bwd" else _fwd_vmem_estimate
     # Even groups get window pairing (see _pair_rel_bias) and small groups
     # pipeline better than large ones — per-program overhead is NOT the

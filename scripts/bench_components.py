@@ -72,7 +72,7 @@ def main():
 
     from nerf_mae_tpu.config import SWIN_PRESETS, MAEConfig
     from nerf_mae_tpu.models.swin import SwinBlock3D, PatchMerging3D
-    from nerf_mae_tpu.models.mae import _PatchEmbed, mae_loss
+    from nerf_mae_tpu.models.mae import _PatchEmbed
     from nerf_mae_tpu.models.unetr import SubpixelHead3D, UnetrUpBlock3D
 
     swin = SWIN_PRESETS[args.preset]
@@ -99,14 +99,34 @@ def main():
     def want(name):
         return args.only in name
 
-    # --- patch embed (patched fast path + LN omitted: LN is ~free) ------
+    # --- patch embed (patched fast path; LN omitted: LN is ~free) -------
+    # Embed rows take grad wrt params ONLY (the grids are data — the real
+    # step never computes dx for the first layer) and feed the batch in
+    # the train transfer dtype.
+    def _embed_rows(xarg, label, apply):
+        params = mod.init(key, x6)
+        fwd = timeit(jax.jit(apply), params, xarg, reps=args.reps)
+        g = jax.jit(jax.grad(
+            lambda pr, xx: (apply(pr, xx).astype(jnp.float32) ** 2).sum()))
+        bwd = timeit(g, params, xarg, reps=args.reps)
+        record(label, fwd, bwd)
+
     if want("patch_embed"):
         mod = _PatchEmbed(e, p, dtype=dt)
-        x = jax.random.normal(key, (b, t, t, t, p**3, 4), jnp.float32)
-        params = mod.init(key, x)
-        fwd = timeit(jax.jit(mod.apply), params, x, reps=args.reps)
-        bwd = timeit(_grad_fn(mod.apply), params, x, reps=args.reps)
-        record("patch_embed_patched_k256", fwd, bwd)
+        x6 = jax.random.normal(key, (b, t, t, t, p**3, 4), dt)
+        _embed_rows(x6, "patch_embed_patched_k256", mod.apply)
+    if want("patch_embed_flat"):
+        # same matmul fed a channel-flat [B,T,T,T,p^3*Cin] operand: isolates
+        # how much of the 6-D row above is arg-layout tax (a [..,64,4]
+        # minor-dims operand tile-pads 4 -> 128 lanes on TPU)
+        mod = _PatchEmbed(e, p, dtype=dt)
+        x6 = jax.random.normal(key, (b, t, t, t, p**3, 4), dt)
+        xf = x6.reshape(b, t, t, t, -1)
+        _embed_rows(
+            xf, "patch_embed_flat256_arg",
+            lambda pr, xx, _m=mod, _p=p: _m.apply(
+                pr, xx.reshape(*xx.shape[:4], _p**3, 4)),
+        )
 
     # --- per-stage block pairs (shift 0 + shift w/2, the repeating unit) -
     for i, (heads, depth) in enumerate(zip(swin.num_heads, swin.depths)):
@@ -170,17 +190,12 @@ def main():
         bwd = timeit(_grad_fn(app), params, x, reps=args.reps)
         record("subpixel_head_patched", fwd, bwd)
 
-    # --- loss (standalone; ~0 in-context, see PERF.md) -------------------
-    if want("mae_loss"):
-        pred = jax.random.normal(key, (b, t, t, t, p**3, 4), jnp.float32)
-        tgt = jax.random.uniform(key, (b, t, t, t, p**3, 4), jnp.float32)
-        mask = jax.random.bernoulli(key, 0.75, (b, t, t, t))
-        sizes = jnp.full((b, 3), r, jnp.int32)
-        f = jax.jit(lambda pr: mae_loss(pr, tgt, mask, sizes, cfg)[0])
-        fwd = timeit(f, pred, reps=args.reps)
-        bwd = timeit(jax.jit(jax.grad(lambda pr: mae_loss(
-            pr, tgt, mask, sizes, cfg)[0])), pred, reps=args.reps)
-        record("mae_loss_standalone_patched", fwd, bwd)
+    # mae_loss and the optimizer are intentionally NOT benchmarked here:
+    # the loss fuses into the step (~0 ms in-context, PERF.md) and a
+    # standalone jit of the raw [B,T,T,T,p^3,4] operand forces a padded
+    # T(8,128) layout that expands 500 MB to 15.6 GB (OOM) — the in-step
+    # layout is fusion-chosen and never materializes that form. The
+    # optimizer needs the full ~700-leaf param tree (bench.py's job).
 
     out = {"meta": meta, "rows": rows}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
