@@ -124,7 +124,10 @@ class MAEConfig:
     # Same parameter tree either way; transfer bytes unchanged. Default-on
     # since r4 (A/B: 313.7 -> 258.0 ms, +21.6% — PERF.md); opt out with
     # --no-patch_major_input in run_mae_pretrain.py / NERF_MAE_PATCH_MAJOR=0
-    # in bench.py. Composes with --device_data (the HBM corpus is stored
+    # in bench.py. At the jit boundary the batch travels channel-flat
+    # [B, T, T, T, p^3*4] by default (shard_batch flatten_patches /
+    # NERF_MAE_FLAT_TRANSFER; see ops.maybe_unflatten_patches for why).
+    # Composes with --device_data (the HBM corpus is stored flat
     # patch-major) and the [data, space] spatial mesh (first spatial dim
     # stays axis 1).
 

@@ -28,15 +28,17 @@ corpus cache composes with spatial (grid) parallelism.
 
 Not compatible with per-epoch host augmentation (flips/rot90/rot-scale
 draw fresh randomness each visit) — the drivers guard that. The
-patch-major host layout composes: the corpus is drained (and stored)
-already patch-major, so every gather serves [B,T,T,T,p^3,C] with zero
-per-step relayout; the first spatial dim stays axis 1, so the
-[data, space] store/serve specs below apply unchanged.
+patch-major host layout composes: the corpus is drained already
+patch-major and stored channel-flat ([N,T,T,T,p^3*C] — the TPU-preferred
+argument layout, see ops.maybe_unflatten_patches), so every gather serves
+batches with zero per-step relayout; the first spatial dim stays axis 1,
+so the [data, space] store/serve specs below apply unchanged.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -106,6 +108,16 @@ def device_corpus_batches(
         corpus = {
             k: v.astype(td)
             if v.dtype == np.float32 and v.ndim >= 4 else v
+            for k, v in corpus.items()
+        }
+
+    # patch-major 6-D leaves are stored (and served) channel-flat
+    # [N, T, T, T, p^3*C]: same bytes, but the gathered batch then enters
+    # train_step in the flat argument layout the TPU prefers (see
+    # parallel.shard_batch flatten_patches / ops.maybe_unflatten_patches)
+    if os.environ.get("NERF_MAE_FLAT_TRANSFER", "1") == "1":
+        corpus = {
+            k: v.reshape(*v.shape[:4], -1) if v.ndim == 6 else v
             for k, v in corpus.items()
         }
 

@@ -31,7 +31,11 @@ from nerf_mae_tpu.models.unetr import (
     UnetrUpBlock3D,
 )
 from nerf_mae_tpu.ops.masking import block_mask_3d
-from nerf_mae_tpu.ops.patchify import patchify_3d, voxel_validity_mask
+from nerf_mae_tpu.ops.patchify import (
+    maybe_unflatten_patches,
+    patchify_3d,
+    voxel_validity_mask,
+)
 from nerf_mae_tpu.ops.pos_embed import sincos_pos_embed_3d
 
 
@@ -138,8 +142,13 @@ class SwinMAE3D(nn.Module):
         """Patch-embed + pos-embed -> [B, T, T, T, C]. Input is either the
         voxel grid [B, R, R, R, 4] or its host-patchified form
         [B, T, T, T, p^3, 4] (patch-major train fast path; the dispatch
-        is on input ndim — see the layout note in config.MAEConfig)."""
+        is on input ndim — see the layout note in config.MAEConfig). The
+        channel-flat patch-major form [B, T, T, T, p^3*4] (the preferred
+        jit-argument layout, see maybe_unflatten_patches) is also taken."""
         cfg = self.cfg
+        grids = maybe_unflatten_patches(
+            grids, cfg.swin.patch_size[0], cfg.input_channels
+        )
         x = self.patch_embed(grids.astype(cfg.dtype))
         x = self.patch_norm(x).astype(cfg.dtype)
         pos = jnp.asarray(sincos_pos_embed_3d(cfg.swin.embed_dim, x.shape[1]))
@@ -214,7 +223,9 @@ def mae_loss(
     """
     p = cfg.swin.patch_size[0]
     pred = pred.astype(jnp.float32)
-    target = target.astype(jnp.float32)
+    target = maybe_unflatten_patches(
+        target, p, cfg.input_channels
+    ).astype(jnp.float32)
 
     # pred arrives either as the voxel grid or already in patched layout
     # (SwinMAE3D(..., patched_pred=True) — the same permutation this line

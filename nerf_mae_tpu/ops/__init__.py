@@ -1,5 +1,10 @@
 from nerf_mae_tpu.ops.pos_embed import sincos_pos_embed_3d
-from nerf_mae_tpu.ops.patchify import patchify_3d, unpatchify_3d, voxel_validity_mask
+from nerf_mae_tpu.ops.patchify import (
+    maybe_unflatten_patches,
+    patchify_3d,
+    unpatchify_3d,
+    voxel_validity_mask,
+)
 from nerf_mae_tpu.ops.masking import block_mask_3d
 from nerf_mae_tpu.ops.window_attention import (
     window_partition_3d,
@@ -25,6 +30,7 @@ from nerf_mae_tpu.ops.pallas_attention import fused_window_attention
 
 __all__ = [
     "sincos_pos_embed_3d",
+    "maybe_unflatten_patches",
     "patchify_3d",
     "unpatchify_3d",
     "voxel_validity_mask",

@@ -150,10 +150,16 @@ def _pick_group_block(n_windows: int, num_heads: int, n: int, c: int,
     else:
         candidates = (4, 8, 2, 10, 16, 20, 25, 5, 9, 3)
     cap = 64 if mode == "bwd" else 128
-    # the 12 MB scoped-VMEM budget is v5e-calibrated at C<=256; the C=512
-    # stage carries ~13 MB of resident accumulators alone and still fits
-    # comfortably in the 128 MB VMEM at small wp
-    budget = (12 << 20) if c <= 256 else (40 << 20)
+    # the 14 MB scoped-VMEM budget is v5e-calibrated at C<=256 (admits
+    # bwd wp=4 at C=256, 13.0 MB estimated — measured 12.54 vs 12.89 ms
+    # stage1 pair fwd+bwd vs wp=2, and compiles/runs on v5e under the
+    # raised Mosaic limit below); the C=512 stage carries ~13 MB of
+    # resident accumulators alone and still fits comfortably in the
+    # 128 MB VMEM at small wp. A same-process v5e sweep of the other
+    # stages' (fwd, bwd) picks confirmed the heuristic's choices:
+    # stage0 (4,4) 43.25 ms beats (8,4) 43.97; stage2 (4,4) 7.59 beats
+    # (2,4) 7.72; stage3 (1,1) 5.34 beats (2,2) 5.48 (PERF.md r5).
+    budget = (14 << 20) if c <= 256 else (40 << 20)
     for wp in candidates:
         if (n_windows % wp == 0 and wp * num_heads <= cap
                 and estimate(wp, n, c, hidden, num_heads) <= budget):

@@ -41,6 +41,30 @@ def patchify_np(x, patch: int):
     return np.ascontiguousarray(x).reshape(b, r, r, r, patch**3, c)
 
 
+def maybe_unflatten_patches(x: jnp.ndarray, patch: int,
+                            channels: int = 4) -> jnp.ndarray:
+    """Accept the channel-flat patch-major jit-argument layout.
+
+    [B, T, T, T, patch^3 * channels] -> [B, T, T, T, patch^3, channels]
+    (a free reshape: the flat form is the same C-order buffer). 6-D patched
+    input and the dense voxel grid [B, R, R, R, channels] pass through
+    unchanged — dispatch is on ndim + last-dim size, which never collide
+    (channels != patch^3 * channels).
+
+    Why the flat form exists: a [.., patch^3, channels] jit *argument*
+    can force a padded TPU tiling on the tiny channel minor — measured
+    10.13 vs 2.48 ms fwd+bwd on the patch embed under a standalone jit.
+    Inside the full train step XLA hides the difference (241.5 vs
+    241.8 ms A/B, PERF.md r5), so the flat default is a robustness
+    choice: any jit boundary the batch crosses (the --device_data
+    gather, future pipelines) gets the layout that cannot pad, at zero
+    cost. Inside jit both forms reach the same [.., p^3*C] @ E matmul.
+    """
+    if x.ndim == 5 and x.shape[-1] == patch ** 3 * channels:
+        return x.reshape(*x.shape[:4], patch ** 3, channels)
+    return x
+
+
 def unpatchify_3d(x: jnp.ndarray, patch: int) -> jnp.ndarray:
     """Inverse of patchify_3d: [B, r, r, r, patch^3, C] -> [B, R, R, R, C]."""
     b, r, _, _, _, c = x.shape

@@ -9,6 +9,7 @@ Multi-host extends by calling jax.distributed.initialize() before make_mesh.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -129,7 +130,8 @@ def data_parallel_shardings(mesh: Mesh, axis: str = "data"):
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data",
                 transfer_dtype: Optional[str] = None,
-                specs: Optional[dict] = None):
+                specs: Optional[dict] = None,
+                flatten_patches: Optional[bool] = None):
     """Place a pytree of [B, ...] arrays with B sharded over the mesh.
 
     Single-process: a plain device_put. Multi-process (multi-host TPU pods,
@@ -144,7 +146,21 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data",
     sees quantized *targets* — negligible against recon-level PSNR, and a
     2x win when the interconnect (PCIe, or this VM's tunnel) is the
     bottleneck (PERF.md finding 5).
+
+    flatten_patches (default on; NERF_MAE_FLAT_TRANSFER=0 disables):
+    patch-major 6-D leaves [B, T, T, T, p^3, C] are reshaped channel-flat
+    [B, T, T, T, p^3*C] before the transfer — a free host reshape to the
+    one layout whose tiny-minor tiling cannot pad at a jit boundary
+    (ops.patchify.maybe_unflatten_patches has the measured A/B; the
+    model/loss accept both forms).
     """
+    if flatten_patches is None:
+        flatten_patches = os.environ.get("NERF_MAE_FLAT_TRANSFER", "1") == "1"
+    if flatten_patches:
+        batch = jax.tree.map(
+            lambda x: x.reshape(*x.shape[:4], -1)
+            if getattr(x, "ndim", 0) == 6 else x, batch
+        )
     if transfer_dtype and transfer_dtype != "float32":
         import ml_dtypes
 

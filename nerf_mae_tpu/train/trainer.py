@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nerf_mae_tpu.config import MAEConfig, TrainConfig
 from nerf_mae_tpu.metrics import masked_mse, masked_psnr
 from nerf_mae_tpu.models.mae import SwinMAE3D, mae_loss
-from nerf_mae_tpu.ops.patchify import patchify_3d
+from nerf_mae_tpu.ops.patchify import maybe_unflatten_patches, patchify_3d
 from nerf_mae_tpu.train.optim import make_optimizer
 
 logger = logging.getLogger(__name__)
@@ -155,9 +155,12 @@ class MAETrainer:
         )
         p = self.mae_cfg.swin.patch_size[0]
         pred_p = pred if pred.ndim == 6 else patchify_3d(pred, p)
-        tgt = batch["grids"].astype(jnp.float32)
         # Patch-major batches (the default train layout, and the layout the
-        # --device_data corpus stores) arrive already patchified [B,T,T,T,p^3,C].
+        # --device_data corpus stores) arrive already patchified — either
+        # 6-D [B,T,T,T,p^3,C] or channel-flat (maybe_unflatten_patches).
+        tgt = maybe_unflatten_patches(
+            batch["grids"], p, self.mae_cfg.input_channels
+        ).astype(jnp.float32)
         tgt_p = tgt if tgt.ndim == 6 else patchify_3d(tgt, p)
         alpha_mask = tgt_p[..., 3:] > 0.01
         return {

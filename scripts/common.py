@@ -191,9 +191,10 @@ def make_train_batches(args, mesh, host_iter_factory, corpus_iter_factory=None):
             "augmentation is incompatible (drop "
             + ", ".join(f"--{a}" for a in aug) + ")")
     # --patch_major_input composes: the corpus iterator emits patch-major
-    # [N,T,T,T,p^3,4] leaves, the cache stores and gathers that layout
-    # directly (first spatial dim is still axis 1, so the [data, space]
-    # store/serve specs apply unchanged).
+    # [N,T,T,T,p^3,4] leaves, the cache stores and gathers them channel-
+    # flat (the TPU-preferred argument layout, device_cache module doc;
+    # first spatial dim is still axis 1, so the [data, space] store/serve
+    # specs apply unchanged).
     from nerf_mae_tpu.data.device_cache import (corpus_from_iterator,
                                                 device_corpus_batches)
     corpus = corpus_from_iterator(

@@ -203,8 +203,9 @@ def test_driver_guard_rejects_augmentation():
 @pytest.mark.quick
 def test_patch_major_corpus_gathers_and_matches_host_layout():
     """--device_data + patch-major (the r4 default train path): the corpus
-    is stored [N,T,T,T,p^3,C] and every gather serves that layout bit-for-
-    bit against the host iterator, on both mesh shapes."""
+    is stored channel-flat [N,T,T,T,p^3*C] (the TPU-preferred argument
+    layout) and every gather serves the host iterator's data bit-for-bit
+    (a free reshape apart), on both mesh shapes."""
     ds = _dataset(n=8, r=8)
     host = list(mae_batch_iterator(ds, 8, 8, shuffle=False, loop=False,
                                    drop_last=False, patch_major=4))
@@ -213,8 +214,10 @@ def test_patch_major_corpus_gathers_and_matches_host_layout():
     # data mesh: batch spans all 8 devices; [data=4, space=2]: batch 4
     for mesh, bs in ((make_mesh(), 8), (make_mesh_2d(None, 2), 4)):
         b = next(device_corpus_batches(corpus, mesh, bs, shuffle=False))
-        np.testing.assert_array_equal(np.asarray(b["grids"]),
-                                      host[0]["grids"][:bs])
+        assert b["grids"].shape == (bs, 2, 2, 2, 64 * 4)
+        np.testing.assert_array_equal(
+            np.asarray(b["grids"]).reshape(bs, 2, 2, 2, 64, 4),
+            host[0]["grids"][:bs])
 
 
 def test_mae_train_step_consumes_patch_major_device_batches():

@@ -243,6 +243,16 @@ class TestPatchMajorInput:
         l_pat, _ = mae_loss(pat, jnp.asarray(gp), tm, sizes, cfg)
         np.testing.assert_allclose(float(l_pat), float(l_vox), rtol=1e-6)
 
+        # channel-flat argument form [B,T,T,T,p^3*C] (the preferred TPU
+        # jit-argument layout): bitwise-identical to the 6-D patched form
+        # — the reshape is layout-only
+        gf = gp.reshape(2, 8, 8, 8, -1)
+        flat, _ = model.apply(params, jnp.asarray(gf), True, token_mask=tm,
+                              patched_pred=True)
+        np.testing.assert_array_equal(np.asarray(flat), np.asarray(pat))
+        l_flat, _ = mae_loss(flat, jnp.asarray(gf), tm, sizes, cfg)
+        np.testing.assert_allclose(float(l_flat), float(l_pat), rtol=0)
+
     def test_patchify_np_matches_device_patchify(self):
         from nerf_mae_tpu.ops.patchify import patchify_3d, patchify_np
 

@@ -161,6 +161,27 @@ def test_shard_batch_transfer_dtype_casts_grids_only():
     assert out32["grids"].dtype == jnp.float32
 
 
+def test_shard_batch_flattens_patch_major_leaves():
+    """Patch-major 6-D leaves travel channel-flat by default (the
+    TPU-preferred jit-argument layout, ops.maybe_unflatten_patches);
+    flatten_patches=False preserves the 6-D form, and dense 5-D grids
+    are never touched."""
+    from nerf_mae_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh(1)
+    gp = np.random.rand(2, 2, 2, 2, 64, 4).astype(np.float32)
+    batch = {"grids": gp, "sizes": np.full((2, 3), 8, np.int32)}
+    out = shard_batch(batch, mesh)
+    assert out["grids"].shape == (2, 2, 2, 2, 256)
+    np.testing.assert_array_equal(
+        np.asarray(out["grids"]).reshape(gp.shape), gp)
+    keep = shard_batch(batch, mesh, flatten_patches=False)
+    assert keep["grids"].shape == gp.shape
+    dense = shard_batch({"grids": np.zeros((2, 8, 8, 8, 4), np.float32)},
+                        mesh)
+    assert dense["grids"].shape == (2, 8, 8, 8, 4)
+
+
 def test_optimizer_skips_nonfinite_updates():
     """A nan grad must not poison params through the global-norm clip:
     the guard zeroes the update (leaving only the tiny wd/momentum-decay
