@@ -94,18 +94,31 @@ def _measure(cfg, mesh, batch_size, resolution, reps, patch_major,
     rng = np.random.RandomState(0)
     trainer = MAETrainer(cfg, TrainConfig(batch_size=batch_size), 1000, mesh)
     state = trainer.init(jax.random.PRNGKey(0))
+    # NERF_MAE_BENCH_DEVICE_DATA=1: serve batches from a device-resident
+    # corpus via the per-step jitted gather (the --device_data production
+    # path) instead of one pre-placed host batch — times the step
+    # *including* the gather and the gather-output->step jit boundary.
+    device_data = os.environ.get("NERF_MAE_BENCH_DEVICE_DATA", "0") == "1"
+    n_scenes = 2 * batch_size if device_data else batch_size
     grids = rng.rand(
-        batch_size, resolution, resolution, resolution, 4).astype(np.float32)
+        n_scenes, resolution, resolution, resolution, 4).astype(np.float32)
     if patch_major:
         from nerf_mae_tpu.ops.patchify import patchify_np
 
         grids = patchify_np(grids, cfg.swin.patch_size[0])
-    batch = shard_batch(
-        {"grids": grids,
-         "sizes": np.full((batch_size, 3), resolution, np.int32)},
-        mesh,
-    )
-    state, m = trainer.train_step(state, batch)  # compile
+    sizes = np.full((n_scenes, 3), resolution, np.int32)
+    if device_data:
+        from nerf_mae_tpu.data.device_cache import device_corpus_batches
+
+        it = device_corpus_batches(
+            {"grids": grids, "sizes": sizes}, mesh, batch_size,
+            transfer_dtype="bfloat16",
+        )
+        next_batch = lambda: next(it)
+    else:
+        fixed = shard_batch({"grids": grids, "sizes": sizes}, mesh)
+        next_batch = lambda: fixed
+    state, m = trainer.train_step(state, next_batch())  # compile
     first_loss = float(m["loss"])  # host transfer = hard barrier
     assert np.isfinite(first_loss), first_loss
     if profile_dir:
@@ -113,7 +126,7 @@ def _measure(cfg, mesh, batch_size, resolution, reps, patch_major,
     try:
         t0 = time.perf_counter()
         for _ in range(reps):
-            state, m = trainer.train_step(state, batch)
+            state, m = trainer.train_step(state, next_batch())
         # block via host transfer: block_until_ready through the
         # remote tunnel can ack at dispatch, not completion
         _ = float(m["loss"])
