@@ -289,3 +289,100 @@ def render_detection_views(
         plt.close(fig)
         paths.append(path)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Headless line-set export — capability match for the reference's
+# data/visualize_cameras/ open3d viewers (visualize_nerf_front3d.py:115-158
+# get_camera_frustum/frustums2lineset and the per-dataset mains). The
+# reference shows an interactive window; TPU hosts have no display, so we
+# export the same line sets as an ASCII PLY with `edge` elements (readable
+# by MeshLab/CloudCompare and by the paired test).
+# ---------------------------------------------------------------------------
+
+
+def camera_frustum_lineset(c2w: np.ndarray, camera_angle_x: float,
+                           aspect: float = 480.0 / 640.0,
+                           length: float = 0.1,
+                           color=(0.0, 1.0, 0.0),
+                           forward: float = -1.0):
+    """One camera frustum as (points [5, 3], lines [8, 2], colors [8, 3]).
+
+    Same 5-vertex topology as the reference (apex + 4 image corners at
+    depth `length`, 4 apex rays + 4 rim edges; visualize_nerf_front3d.py:
+    123-128). `forward` is the camera-frame z-sign of the view direction:
+    -1 for nerf/instant-ngp OpenGL poses (the transforms.json convention
+    this repo produces), +1 to reproduce the reference's raw +z frusta.
+    """
+    c2w = np.asarray(c2w, np.float64)
+    half_w = length * np.tan(0.5 * camera_angle_x)
+    half_h = half_w * aspect
+    z = forward * length
+    pts = np.array(
+        [[0.0, 0.0, 0.0],
+         [-half_w, -half_h, z], [half_w, -half_h, z],
+         [half_w, half_h, z], [-half_w, half_h, z]], np.float64,
+    )
+    pts = pts @ c2w[:3, :3].T + c2w[:3, 3]
+    lines = np.array([[0, 1], [0, 2], [0, 3], [0, 4],
+                      [1, 2], [2, 3], [3, 4], [4, 1]], np.int64)
+    colors = np.tile(np.asarray(color, np.float64)[None], (8, 1))
+    return pts.astype(np.float32), lines, colors
+
+
+def box_lineset(boxes: np.ndarray, color=(1.0, 0.8, 0.0)):
+    """[N, 6|7] boxes -> one (points, lines, colors) wireframe line set
+    (12 edges per box, _BOX_EDGES topology)."""
+    boxes = np.asarray(boxes, np.float32)
+    if boxes.size == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 2), np.int64),
+                np.zeros((0, 3), np.float64))
+    corners = box_corners_3d(boxes)  # [N, 8, 3]
+    n = corners.shape[0]
+    edges = np.asarray(_BOX_EDGES, np.int64)  # [12, 2]
+    lines = (edges[None] + 8 * np.arange(n)[:, None, None]).reshape(-1, 2)
+    colors = np.tile(np.asarray(color, np.float64)[None], (12 * n, 1))
+    return corners.reshape(-1, 3), lines, colors
+
+
+def merge_linesets(linesets):
+    """List of (points, lines, colors) -> one concatenated line set with
+    re-based line indices (reference frustums2lineset semantics)."""
+    pts, lines, cols, base = [], [], [], 0
+    for p, l, c in linesets:
+        pts.append(np.asarray(p, np.float32))
+        lines.append(np.asarray(l, np.int64) + base)
+        cols.append(np.asarray(c, np.float64))
+        base += len(p)
+    if not pts:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 2), np.int64),
+                np.zeros((0, 3), np.float64))
+    return np.concatenate(pts), np.concatenate(lines), np.concatenate(cols)
+
+
+def save_lineset_ply(path: str, points: np.ndarray, lines: np.ndarray,
+                     line_colors: Optional[np.ndarray] = None):
+    """ASCII PLY with vertex + edge elements (per-edge uchar colors)."""
+    n, m = len(points), len(lines)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element edge {m}\n")
+        f.write("property int vertex1\nproperty int vertex2\n")
+        if line_colors is not None:
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
+        f.write("end_header\n")
+        for i in range(n):
+            f.write(f"{points[i, 0]:.5f} {points[i, 1]:.5f} "
+                    f"{points[i, 2]:.5f}\n")
+        cols = (
+            (np.clip(line_colors, 0, 1) * 255).astype(np.uint8)
+            if line_colors is not None else None
+        )
+        for i in range(m):
+            row = f"{int(lines[i, 0])} {int(lines[i, 1])}"
+            if cols is not None:
+                row += f" {cols[i, 0]} {cols[i, 1]} {cols[i, 2]}"
+            f.write(row + "\n")
